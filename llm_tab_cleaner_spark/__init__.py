@@ -1,0 +1,29 @@
+"""llm_tab_cleaner_spark — a from-scratch PySpark-native quality-filter engine.
+
+Re-expresses the capabilities of danieleschmidt/llm-tab-cleaner (reference at
+/root/reference, v0.3.0) as a Spark-first pipeline: language-ID + quality
+filter + PII/toxicity scrub over a table of source-code files, with per-file
+keep/drop decision + confidence, a long-format audit trail, checkpointed
+resume, and explicit skew handling.
+
+Architecture (see SURVEY.md §7):
+  - ``functions/``  — native Column expressions (text features, PII scrub,
+    hashes) and the single vectorized pandas-UDF scorer (langid + perplexity).
+  - ``operators/``  — rule compiler, quality-filter pipeline, profiler,
+    dedup family, similarity search, text analysis, calibration.
+  - ``sources/``    — IO + the state/checkpoint store (parquet manifest,
+    Iceberg-shaped contract).
+  - ``plans/``      — high-level pipeline assembly (the public API).
+  - ``fixtures/``   — deterministic seeded generators for the code-files
+    table with golden keep/drop labels and golden scrubbed bytes.
+  - ``streaming/``  — Structured Streaming variant of the clean stage.
+
+Everything in the hot path is either a native Column expression (whole-stage
+codegen) or one Arrow-batched pandas UDF — zero per-row Python.
+"""
+
+__version__ = "0.1.0"
+
+from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline, PipelineConfig
+
+__all__ = ["CleanPipeline", "PipelineConfig", "__version__"]

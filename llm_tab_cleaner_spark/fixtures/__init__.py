@@ -1,0 +1,1 @@
+"""Deterministic seeded fixtures (code_files + messy_tabular) with goldens."""

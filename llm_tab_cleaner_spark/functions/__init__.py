@@ -1,0 +1,1 @@
+"""Native Column expressions + the vectorized scorer UDF."""

@@ -1,0 +1,448 @@
+"""Deterministic seed corpus: per-language code snippet templates.
+
+Used by BOTH the fixture generator (fixtures/code_files.py — composes file
+bodies from these templates with seeded identifier substitution) and the
+scorer trainer (scoring.py — fits the hashed n-gram language/perplexity
+model on them). No external data; everything is embedded here.
+
+Templates contain ``{tok<i>}`` placeholders the generator fills with seeded
+identifiers; the trainer fills them with a fixed rotation so the trained
+model never sees test identifiers verbatim (generalization comes from the
+char-n-gram hashing, not memorization).
+"""
+
+from __future__ import annotations
+
+PY_TEMPLATES = [
+    '''import os
+import sys
+from typing import Optional
+
+
+def {tok0}(path: str, {tok1}: int = 10) -> Optional[str]:
+    """Read and normalize the contents of *path*."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        lines = fh.readlines()
+    result = []
+    for line in lines[:{tok1}]:
+        stripped = line.strip()
+        if stripped and not stripped.startswith("#"):
+            result.append(stripped.lower())
+    return "\\n".join(result)
+
+
+class {tok2}:
+    def __init__(self, name: str):
+        self.name = name
+        self._cache = {{}}
+
+    def lookup(self, key: str) -> str:
+        if key not in self._cache:
+            self._cache[key] = {tok0}(key)
+        return self._cache[key]
+''',
+    '''from dataclasses import dataclass, field
+from collections import defaultdict
+
+
+@dataclass
+class {tok0}:
+    count: int = 0
+    items: list = field(default_factory=list)
+
+
+def {tok1}(records):
+    buckets = defaultdict({tok0})
+    for rec in records:
+        key = rec.get("kind", "unknown")
+        buckets[key].count += 1
+        buckets[key].items.append(rec)
+    return dict(sorted(buckets.items(), key=lambda kv: -kv[1].count))
+
+
+def main():
+    data = [{{"kind": "a", "v": i}} for i in range(100)]
+    summary = {tok1}(data)
+    for name, bucket in summary.items():
+        print(f"{{name}}: {{bucket.count}}")
+
+
+if __name__ == "__main__":
+    main()
+''',
+    '''import json
+import logging
+
+logger = logging.getLogger(__name__)
+
+
+def {tok0}(payload: bytes) -> dict:
+    try:
+        parsed = json.loads(payload)
+    except json.JSONDecodeError as exc:
+        logger.warning("bad payload: %s", exc)
+        return {{}}
+    out = {{}}
+    for key, value in parsed.items():
+        if isinstance(value, (int, float)):
+            out[key] = value * {tok1}
+        elif isinstance(value, str):
+            out[key] = value.strip()
+    return out
+
+
+def {tok2}(items, threshold=0.5):
+    kept = [x for x in items if x.get("score", 0) >= threshold]
+    logger.info("kept %d of %d", len(kept), len(items))
+    return kept
+''',
+]
+
+JS_TEMPLATES = [
+    '''const fs = require('fs');
+const path = require('path');
+
+function {tok0}(dir) {{
+  const entries = fs.readdirSync(dir);
+  return entries
+    .filter((name) => name.endsWith('.json'))
+    .map((name) => path.join(dir, name));
+}}
+
+function {tok1}(files) {{
+  const results = [];
+  for (const file of files) {{
+    const raw = fs.readFileSync(file, 'utf8');
+    try {{
+      results.push(JSON.parse(raw));
+    }} catch (err) {{
+      console.error(`skip ${{file}}: ${{err.message}}`);
+    }}
+  }}
+  return results;
+}}
+
+module.exports = {{ {tok0}, {tok1} }};
+''',
+    '''export class {tok0} {{
+  constructor(options = {{}}) {{
+    this.limit = options.limit ?? 100;
+    this.items = new Map();
+  }}
+
+  add(key, value) {{
+    if (this.items.size >= this.limit) {{
+      const oldest = this.items.keys().next().value;
+      this.items.delete(oldest);
+    }}
+    this.items.set(key, value);
+    return this;
+  }}
+
+  get(key) {{
+    return this.items.get(key);
+  }}
+}}
+
+export function {tok1}(arr) {{
+  return arr.reduce((acc, x) => acc + (typeof x === 'number' ? x : 0), 0);
+}}
+
+export const {tok2} = (xs) => xs.filter(Boolean).map((x) => String(x).trim());
+''',
+    '''async function {tok0}(url, retries = 3) {{
+  for (let attempt = 0; attempt < retries; attempt++) {{
+    try {{
+      const res = await fetch(url);
+      if (!res.ok) throw new Error(`status ${{res.status}}`);
+      return await res.json();
+    }} catch (err) {{
+      if (attempt === retries - 1) throw err;
+      await new Promise((r) => setTimeout(r, 100 * (attempt + 1)));
+    }}
+  }}
+}}
+
+function {tok1}(records) {{
+  const byKey = {{}};
+  for (const rec of records) {{
+    const key = rec.key || 'default';
+    byKey[key] = (byKey[key] || 0) + 1;
+  }}
+  return Object.entries(byKey).sort((a, b) => b[1] - a[1]);
+}}
+''',
+]
+
+JAVA_TEMPLATES = [
+    '''package com.example.{tok0};
+
+import java.util.ArrayList;
+import java.util.List;
+import java.util.Map;
+import java.util.HashMap;
+
+public class {tok1} {{
+    private final Map<String, Integer> counts = new HashMap<>();
+
+    public void record(String key) {{
+        counts.merge(key, 1, Integer::sum);
+    }}
+
+    public List<String> topKeys(int limit) {{
+        List<String> keys = new ArrayList<>(counts.keySet());
+        keys.sort((a, b) -> counts.get(b) - counts.get(a));
+        return keys.subList(0, Math.min(limit, keys.size()));
+    }}
+
+    public static void main(String[] args) {{
+        {tok1} tracker = new {tok1}();
+        for (String arg : args) {{
+            tracker.record(arg);
+        }}
+        System.out.println(tracker.topKeys(10));
+    }}
+}}
+''',
+    '''package com.example.{tok0};
+
+import java.util.Optional;
+import java.util.function.Function;
+
+public final class {tok1}<T, R> {{
+    private final Function<T, R> mapper;
+    private final R fallback;
+
+    public {tok1}(Function<T, R> mapper, R fallback) {{
+        this.mapper = mapper;
+        this.fallback = fallback;
+    }}
+
+    public R apply(T input) {{
+        if (input == null) {{
+            return fallback;
+        }}
+        try {{
+            return Optional.ofNullable(mapper.apply(input)).orElse(fallback);
+        }} catch (RuntimeException e) {{
+            return fallback;
+        }}
+    }}
+}}
+''',
+]
+
+C_TEMPLATES = [
+    '''#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MAX_{tok0} 256
+
+typedef struct {{
+    char name[MAX_{tok0}];
+    int count;
+}} {tok1}_t;
+
+static int {tok2}(const char *s) {{
+    int n = 0;
+    while (*s) {{
+        if (*s == ' ') n++;
+        s++;
+    }}
+    return n + 1;
+}}
+
+int main(int argc, char **argv) {{
+    if (argc < 2) {{
+        fprintf(stderr, "usage: %s <input>\\n", argv[0]);
+        return 1;
+    }}
+    {tok1}_t item;
+    strncpy(item.name, argv[1], MAX_{tok0} - 1);
+    item.count = {tok2}(argv[1]);
+    printf("%s -> %d tokens\\n", item.name, item.count);
+    return 0;
+}}
+''',
+    '''#include <stdint.h>
+#include <stddef.h>
+
+uint64_t {tok0}(const uint8_t *data, size_t len) {{
+    uint64_t hash = 14695981039346656037ULL;
+    for (size_t i = 0; i < len; i++) {{
+        hash ^= data[i];
+        hash *= 1099511628211ULL;
+    }}
+    return hash;
+}}
+
+int {tok1}(const int *arr, size_t n, int target) {{
+    size_t lo = 0, hi = n;
+    while (lo < hi) {{
+        size_t mid = lo + (hi - lo) / 2;
+        if (arr[mid] < target) lo = mid + 1;
+        else hi = mid;
+    }}
+    return (lo < n && arr[lo] == target) ? (int)lo : -1;
+}}
+''',
+]
+
+GO_TEMPLATES = [
+    '''package {tok0}
+
+import (
+	"fmt"
+	"sort"
+	"strings"
+)
+
+type {tok1} struct {{
+	Name  string
+	Score float64
+}}
+
+func Rank{tok1}s(items []{tok1}) []{tok1} {{
+	sort.Slice(items, func(i, j int) bool {{
+		return items[i].Score > items[j].Score
+	}})
+	return items
+}}
+
+func {tok2}(parts []string) string {{
+	var b strings.Builder
+	for i, p := range parts {{
+		if i > 0 {{
+			b.WriteString(", ")
+		}}
+		b.WriteString(strings.TrimSpace(p))
+	}}
+	return fmt.Sprintf("[%s]", b.String())
+}}
+''',
+    '''package {tok0}
+
+import (
+	"context"
+	"errors"
+	"time"
+)
+
+var Err{tok1} = errors.New("{tok1} timeout")
+
+func {tok2}(ctx context.Context, attempts int, fn func() error) error {{
+	var err error
+	for i := 0; i < attempts; i++ {{
+		if err = fn(); err == nil {{
+			return nil
+		}}
+		select {{
+		case <-ctx.Done():
+			return ctx.Err()
+		case <-time.After(time.Duration(i+1) * 50 * time.Millisecond):
+		}}
+	}}
+	return err
+}}
+''',
+]
+
+MD_TEMPLATES = [
+    '''# {tok0} Service
+
+A small utility service that aggregates {tok1} records and exposes a
+summary endpoint for downstream consumers.
+
+## Installation
+
+Install the dependencies and run the development server locally. The
+service expects a configuration file describing the upstream sources.
+
+## Usage
+
+- Start the server with the default configuration.
+- Send records to the ingest endpoint as JSON lines.
+- Query the summary endpoint to retrieve aggregated counts per key.
+
+## Contributing
+
+Pull requests are welcome. Please include tests for any behavior change
+and keep the documentation in sync with the code.
+''',
+    '''# Notes on {tok0}
+
+This document describes the design tradeoffs behind the {tok1} module.
+
+The main constraint is memory: we keep a bounded window of recent
+observations and fold older data into coarse summaries. The window size
+is configurable and defaults to one thousand entries.
+
+1. Ingest validates each record against the schema.
+2. Valid records update the rolling window.
+3. A background task compacts expired entries every minute.
+
+See the architecture overview for how this fits the larger pipeline.
+''',
+]
+
+JSON_TEMPLATES = [
+    '''{{
+  "name": "{tok0}",
+  "version": "1.2.3",
+  "description": "configuration for the {tok1} pipeline",
+  "settings": {{
+    "batchSize": 500,
+    "retries": 3,
+    "timeoutMs": 30000,
+    "enabled": true
+  }},
+  "sources": [
+    {{"kind": "parquet", "path": "data/input"}},
+    {{"kind": "jsonl", "path": "data/extra"}}
+  ],
+  "tags": ["{tok0}", "{tok1}", "etl"]
+}}
+''',
+]
+
+TEMPLATES: dict[str, list[str]] = {
+    "python": PY_TEMPLATES,
+    "javascript": JS_TEMPLATES,
+    "java": JAVA_TEMPLATES,
+    "c": C_TEMPLATES,
+    "go": GO_TEMPLATES,
+    "markdown": MD_TEMPLATES,
+    "json": JSON_TEMPLATES,
+}
+
+# Identifier pool for template substitution (seeded choice by callers).
+IDENTIFIERS = [
+    "parse", "loader", "worker", "handler", "merge", "batch", "index", "cache",
+    "router", "codec", "buffer", "stream", "packet", "widget", "metric", "cursor",
+    "vault", "ledger", "beacon", "probe", "relay", "shard", "quota", "tracer",
+]
+
+
+def fill_template(template: str, idents: list[str]) -> str:
+    """Substitute {tok<i>} placeholders with identifiers (cycled)."""
+    out = template
+    for i in range(4):
+        out = out.replace("{tok%d}" % i, idents[i % len(idents)])
+    # un-escape literal braces from the template format
+    return out.replace("{{", "{").replace("}}", "}")
+
+
+def training_corpus() -> dict[str, list[str]]:
+    """Deterministic training texts per language for the scorer model."""
+    out: dict[str, list[str]] = {}
+    for lang, templates in TEMPLATES.items():
+        texts = []
+        for ti, tpl in enumerate(templates):
+            for j in range(3):
+                idents = [IDENTIFIERS[(ti * 7 + j * 5 + k) % len(IDENTIFIERS)] for k in range(4)]
+                texts.append(fill_template(tpl, idents))
+        out[lang] = texts
+    return out

@@ -1,0 +1,80 @@
+"""PII / secret / toxicity scrubbing — compiled-regex, fully native.
+
+Spark side is a chain of ``regexp_replace`` Column expressions (whole-stage
+codegen, zero Python); ``scrub_python`` is the byte-exact mirror used by the
+fixture generator to produce golden scrubbed text. Patterns are kept in the
+common dialect subset of Java regex / Python re / RE2 (no backrefs, no
+lookbehind) so the same strings also work in DuckDB oracle SQL.
+
+Reference parity: email/SSN/credit-card patterns mirror
+/root/reference/src/llm_tab_cleaner/advanced_security.py:56-88 (detection)
+and :277-307 (masking); secret-keyword family mirrors security.py:25-28.
+Replacement policy differs deliberately: fixed tokens (<EMAIL>, <SSN>, ...)
+instead of format-preserving masks — deterministic, byte-stable, and safe
+for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) applied strictly in this order.
+SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<API_KEY>"),
+    (
+        "secret_assignment",
+        r"(?i)(?:api[_-]?key|apikey|secret|token|password|passwd)\s*[:=]\s*[\"']?[A-Za-z0-9_\-/+]{8,}[\"']?",
+        "<API_KEY>",
+    ),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("credit_card", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CREDIT_CARD>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP_ADDRESS>"),
+)
+
+# Toxicity lexicon (configurable; deliberately small + mild defaults).
+TOXIC_LEXICON: tuple[str, ...] = ("bastard", "dumbass", "shithead", "asshole")
+_TOXIC_PATTERN = r"(?i)\b(?:" + "|".join(TOXIC_LEXICON) + r")\b"
+TOXIC_RULE = ("toxic", _TOXIC_PATTERN, "<TOXIC>")
+
+ALL_RULES: tuple[tuple[str, str, str], ...] = SCRUB_RULES + (TOXIC_RULE,)
+
+_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in ALL_RULES]
+
+
+def scrub_expr(col: Column) -> Column:
+    """Chained regexp_replace applying every scrub rule in order."""
+    out = col
+    for _name, pat, repl in ALL_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_flags(col: Column) -> dict[str, Column]:
+    """One boolean Column per scrub family (pre-scrub detection, for audit)."""
+    return {name: col.rlike(pat) for name, pat, _repl in ALL_RULES}
+
+
+def any_pii_expr(col: Column) -> Column:
+    combined = "|".join(f"(?:{pat})" for _n, pat, _r in ALL_RULES)
+    return col.rlike(combined)
+
+
+def scrub_python(text: str) -> str:
+    """Byte-exact Python mirror of ``scrub_expr`` (fixture golden path)."""
+    out = text
+    for _name, rx, repl in _COMPILED:
+        out = rx.sub(repl, out)
+    return out
+
+
+def scrub_sql(col_name: str) -> str:
+    """DuckDB-SQL mirror (RE2 dialect) for oracle queries."""
+    expr = col_name
+    for _name, pat, repl in ALL_RULES:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return expr

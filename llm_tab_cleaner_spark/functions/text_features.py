@@ -1,0 +1,134 @@
+"""Native Column expressions for per-file text features.
+
+Every expression here is JVM-side (whole-stage codegen) — the Spark-first
+re-expression of the reference's per-value Python loops
+(/root/reference/src/llm_tab_cleaner/core.py:541-587 predicates,
+multimodal_cleaning.py:156-245 text heuristics). No Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions import thresholds as TH
+
+
+def n_chars(col: Column) -> Column:
+    return F.length(col)
+
+
+def lines(col: Column) -> Column:
+    """Array of lines (handles \\r\\n and \\n)."""
+    return F.split(F.regexp_replace(col, "\r\n", "\n"), "\n")
+
+
+def n_lines(col: Column) -> Column:
+    return F.size(lines(col))
+
+
+def max_line_len(col: Column) -> Column:
+    # array_max over transform(lines, length) — higher-order fn, still JVM-side
+    return F.coalesce(
+        F.array_max(F.transform(lines(col), lambda ln: F.length(ln))), F.lit(0)
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def unique_token_ratio(col: Column) -> Column:
+    """distinct tokens / tokens — low values mean pathological repetition
+    (reference analog: multimodal_cleaning.py:169-172)."""
+    toks = tokens(col)
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
+        F.lit(1.0)
+    )
+
+
+def special_char_ratio(col: Column) -> Column:
+    """Non-alphanumeric, non-whitespace chars / non-whitespace chars
+    (reference analog: multimodal_cleaning.py:174-177)."""
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    special = F.length(F.regexp_replace(col, r"[a-zA-Z0-9\s]", ""))
+    return F.when(nonspace > 0, special / nonspace).otherwise(F.lit(0.0))
+
+
+def alnum_ratio(col: Column) -> Column:
+    """Alphanumeric chars / non-whitespace chars — the structure-aware junk
+    measure (JSON/minified stay high; random symbol junk falls below 0.45)."""
+    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
+    alnum = F.length(F.regexp_replace(col, r"[^a-zA-Z0-9]", ""))
+    return F.when(nonspace > 0, alnum / nonspace).otherwise(F.lit(1.0))
+
+
+def ws_strip(col: Column) -> Column:
+    """Strip ALL leading/trailing whitespace (Spark's trim() is space-only)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def is_nullish(col: Column) -> Column:
+    """Null-indicator predicate (reference: core.py:556-559,
+    cleaning_rule.py:182-202)."""
+    norm = F.lower(ws_strip(F.coalesce(col, F.lit(""))))
+    return norm.isin(*TH.NULLISH_TOKENS)
+
+
+def is_autogen(col: Column) -> Column:
+    """Auto-generated / boilerplate marker predicate (pattern-rule analog:
+    cleaning_rule.py:62-76). One combined alternation regex — single scan."""
+    combined = "|".join(f"(?:{p})" for p in TH.AUTOGEN_PATTERNS)
+    return col.rlike(combined)
+
+
+def keyword_lang_scores(col: Column) -> dict[str, Column]:
+    """Cheap native keyword-presence score per language — used as a fallback
+    signal and for SQL-oracle-comparable langid queries. The authoritative
+    langid is the hashed n-gram model in scoring.py."""
+    sig = {
+        "python": [r"\bdef \w+\(", r"\bimport \w", r"\bself\b", r'if __name__ =='],
+        "javascript": [r"\bfunction \w+\(", r"\bconst \w", r"=>", r"\brequire\("],
+        "java": [r"\bpublic class\b", r"\bprivate final\b", r"\bvoid \w+\(", r"\bimport java\."],
+        "c": [r"#include\s*<", r"\bint main\(", r"\bsize_t\b", r"\bprintf\("],
+        "go": [r"\bfunc \w+\(", r"\bpackage \w+", r":=", r"\bfmt\."],
+        "markdown": [r"(?m)^# ", r"(?m)^## ", r"(?m)^- ", r"(?m)^\d+\. "],
+        "json": [r'^\s*\{', r'"\w+"\s*:', r'\}\s*$', r'\[\s*\{'],
+    }
+    return {
+        lang: sum(
+            (F.when(col.rlike(p), F.lit(1)).otherwise(F.lit(0)) for p in pats),
+            F.lit(0),
+        ).cast("int")
+        for lang, pats in sig.items()
+    }
+
+
+def keyword_langid(col: Column) -> Column:
+    """argmax language by keyword score; null if no signal. Pure native expr:
+    array of structs sorted by (score, lang), take the max."""
+    scores = keyword_lang_scores(col)
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(None))
+
+
+def feature_columns(content: Column) -> dict[str, Column]:
+    """The full native feature bundle; select once, reuse downstream."""
+    return {
+        "n_chars": n_chars(content).alias("n_chars"),
+        "n_lines": n_lines(content).alias("n_lines"),
+        "max_line_len": max_line_len(content).alias("max_line_len"),
+        "n_tokens": n_tokens(content).alias("n_tokens"),
+        "unique_token_ratio": unique_token_ratio(content).alias("unique_token_ratio"),
+        "alnum_ratio": alnum_ratio(content).alias("alnum_ratio"),
+        "is_nullish": is_nullish(content).alias("is_nullish"),
+        "is_autogen": is_autogen(content).alias("is_autogen"),
+    }

@@ -1,0 +1,1 @@
+"""Operators: quality filter, rules, profiler, dedup, similarity, text analysis."""

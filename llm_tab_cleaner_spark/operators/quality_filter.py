@@ -1,0 +1,206 @@
+"""The quality-filter pipeline: one linear DataFrame pass, zero per-row Python.
+
+Spark-first re-expression of the reference's clean loop
+(/root/reference/src/llm_tab_cleaner/core.py:360-392 per-column loop +
+spark.py:296-337 per-value UDF): all heuristic rules are native Column
+expressions combined with max-confidence-wins semantics
+(cleaning_rule.py:148-175), the only Python is the single Arrow-batched
+scorer UDF (langid + perplexity), and the confidence gate
+(core.py:374-377) becomes ``keep = drop_confidence < threshold``.
+
+Plan shape (SURVEY.md §7):
+
+    content_sha256 → [anti-join state] → [salted repartition] →
+    native features → scorer UDF → rule when-chains → keep/confidence →
+    scrub (regexp_replace chain) → clean_sha256 → result + audit
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions import thresholds as TH
+from llm_tab_cleaner_spark.functions import text_features as TF
+from llm_tab_cleaner_spark.functions.pii import ALL_RULES as SCRUB_RULE_SPECS
+from llm_tab_cleaner_spark.functions.pii import scrub_expr
+from llm_tab_cleaner_spark.functions.scoring import ScoringModel, default_model, with_scores
+
+KEY_COLS = ("repo", "path", "commit")
+
+
+def drop_rule_confidences(model: ScoringModel) -> dict[str, Column]:
+    """Each drop rule as (name → confidence Column, null when not fired).
+
+    Mirrors the reference's rule registry create_default_rules
+    (cleaning_rule.py:178-314): fixed per-rule confidences, combined later
+    with max-confidence-wins.
+    """
+    content = F.col("content")
+    c = {}
+    c["nullish_empty"] = F.when(F.col("is_nullish"), F.lit(TH.CONF_NULLISH))
+    c["minified_long_line"] = F.when(
+        F.col("max_line_len") > TH.MAX_LINE_LEN, F.lit(TH.CONF_MINIFIED)
+    )
+    c["low_alnum_ratio"] = F.when(
+        (F.col("alnum_ratio") < TH.ALNUM_RATIO_MIN) & (F.col("n_chars") > 0),
+        F.lit(TH.CONF_LOW_ALNUM),
+    )
+    c["autogen_boilerplate"] = F.when(F.col("is_autogen"), F.lit(TH.CONF_AUTOGEN))
+    c["excessive_repetition"] = F.when(
+        (F.col("unique_token_ratio") < TH.UNIQUE_TOKEN_RATIO_MIN)
+        & (F.col("n_tokens") >= TH.REPETITION_MIN_TOKENS),
+        F.lit(TH.CONF_REPETITION),
+    )
+    # graded confidence: crosses the gate at exactly 10 tokens (borderline class)
+    c["short_content"] = F.when(
+        (F.col("n_tokens") > 0)
+        & (F.col("n_tokens") < TH.SHORT_TOKENS_MAX)
+        & ~F.col("is_nullish"),
+        F.lit(TH.SHORT_BASE) - F.lit(TH.SHORT_SLOPE) * F.col("n_tokens"),
+    )
+    c["lang_mismatch"] = F.when(
+        F.col("lang").isNotNull()
+        & F.col("lang_pred").isNotNull()
+        & (F.col("lang") != F.col("lang_pred"))
+        & (F.col("lang_margin") > TH.LANGID_MIN_MARGIN),
+        F.lit(TH.CONF_LANG_MISMATCH),
+    )
+    # only for content long enough that short_content doesn't own the call
+    c["high_perplexity"] = F.when(
+        (F.col("ppl_bits") > F.lit(model.ppl_drop_bits))
+        & (F.col("n_tokens") >= TH.SHORT_TOKENS_MAX),
+        F.lit(TH.CONF_HIGH_PPL),
+    )
+    return c
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Defeat giant-repo skew: partition on (repo, salt) where salt spreads a
+    single repo over `salt_buckets` partitions (north_rule requirement).
+    xxhash64(path) is deterministic — resume-safe."""
+    salt = F.pmod(F.xxhash64(F.col("path")), F.lit(salt_buckets))
+    return df.repartition(num_partitions, F.col("repo"), salt)
+
+
+def apply_quality_filter(
+    df: DataFrame,
+    spark: SparkSession,
+    model: ScoringModel | None = None,
+    threshold: float = TH.CONF_THRESHOLD,
+    num_partitions: int | None = None,
+    salt_buckets: int = 16,
+) -> tuple[DataFrame, ScoringModel]:
+    """Score every file; returns a DataFrame with decision + audit columns.
+
+    Output = input columns + content_sha256, lang_pred, lang_margin,
+    ppl_bits, n_tokens/…features, rules_fired (array<struct<rule,confidence>>),
+    drop_confidence, keep, confidence, content_clean, clean_sha256,
+    scrub_rules (array<string>), partition_id.
+    """
+    model = model or default_model()
+
+    out = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+    if num_partitions:
+        out = salted_repartition(out, num_partitions, salt_buckets)
+
+    # native feature bundle (whole-stage codegen)
+    for name, expr in TF.feature_columns(F.col("content")).items():
+        out = out.withColumn(name, expr)
+
+    # the ONE pandas UDF (langid + perplexity), Arrow-batched
+    out, model = with_scores(out, "content", spark, model)
+
+    # rule when-chains → fired array + max-confidence-wins drop confidence
+    rules = drop_rule_confidences(model)
+    fired = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("rule"), conf.cast("double").alias("confidence"))
+                for name, conf in rules.items()
+            ]
+        ),
+        lambda s: s["confidence"].isNotNull(),
+    )
+    out = out.withColumn("rules_fired", fired)
+    out = out.withColumn(
+        "drop_confidence",
+        F.coalesce(
+            F.array_max(F.transform(F.col("rules_fired"), lambda s: s["confidence"])),
+            F.lit(0.0),
+        ),
+    )
+    out = out.withColumn("keep", F.col("drop_confidence") < F.lit(threshold))
+
+    # decision confidence: drop → rule confidence; contested keep → 1 - drop
+    # confidence; clean keep → perplexity-shaded score in [0.85, 0.99]
+    clean_keep_conf = F.greatest(
+        F.least(
+            F.lit(TH.KEEP_CONF_CEIL)
+            - 0.02 * F.greatest(F.col("ppl_bits") - F.lit(model.train_mean_bits), F.lit(0.0)),
+            F.lit(TH.KEEP_CONF_CEIL),
+        ),
+        F.lit(TH.KEEP_CONF_FLOOR),
+    )
+    out = out.withColumn(
+        "confidence",
+        F.when(~F.col("keep"), F.col("drop_confidence"))
+        .when(F.col("drop_confidence") > 0, F.lit(1.0) - F.col("drop_confidence"))
+        .otherwise(clean_keep_conf),
+    )
+
+    # scrub stage: pure regexp_replace chain + which families fired (audit)
+    out = out.withColumn("content_clean", scrub_expr(F.col("content")))
+    scrub_hits = F.filter(
+        F.array(
+            *[
+                F.when(F.col("content").rlike(pat), F.lit(name))
+                for name, pat, _repl in SCRUB_RULE_SPECS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = out.withColumn("scrub_rules", scrub_hits)
+    out = out.withColumn("clean_sha256", F.sha2(F.col("content_clean"), 256))
+    out = out.withColumn("partition_id", F.spark_partition_id())
+    return out, model
+
+
+def audit_trail(result: DataFrame) -> DataFrame:
+    """Long-format audit table (FIXTURES.md §F3): one row per micro-decision
+    (rule fired or scrub family applied), mirroring the reference's Fix/audit
+    entry (core.py:178-188, 469-481) with per-partition lineage."""
+    keys = [F.col(k) for k in KEY_COLS]
+    rule_rows = (
+        result.select(
+            *keys,
+            F.explode("rules_fired").alias("f"),
+            F.col("keep"),
+            F.col("content_sha256").alias("before_sha256"),
+            F.col("clean_sha256").alias("after_sha256"),
+            F.col("partition_id"),
+        )
+        .select(
+            *keys,
+            F.col("f.rule").alias("rule_fired"),
+            F.col("f.confidence").alias("confidence"),
+            F.when(F.col("keep"), F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+            "before_sha256",
+            "after_sha256",
+            "partition_id",
+        )
+    )
+    scrub_rows = (
+        result.filter(F.size("scrub_rules") > 0)
+        .select(
+            *keys,
+            F.explode("scrub_rules").alias("rule_fired"),
+            F.lit(1.0).alias("confidence"),
+            F.lit("scrub").alias("decision"),
+            F.col("content_sha256").alias("before_sha256"),
+            F.col("clean_sha256").alias("after_sha256"),
+            F.col("partition_id"),
+        )
+    )
+    return rule_rows.unionByName(scrub_rows)

@@ -1,0 +1,1 @@
+"""High-level pipeline assembly (the public API)."""

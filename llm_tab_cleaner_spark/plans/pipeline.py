@@ -1,0 +1,144 @@
+"""CleanPipeline — the public API, mirroring the reference's surfaces.
+
+``TableCleaner.clean`` (/root/reference/src/llm_tab_cleaner/core.py:274-296)
+→ ``CleanPipeline.run(df)``; ``SparkCleaner.clean_distributed``
+(spark.py:67-156) → ``CleanPipeline.run_and_write``; incremental resume
+(incremental.py:46-85) → ``CleanPipeline.run_incremental``. The report
+aggregation mirrors CleaningReport (core.py:162-176, 384-392) but is
+computed distributed (one agg pass over the result), not row-by-row.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions import thresholds as TH
+from llm_tab_cleaner_spark.functions.scoring import ScoringModel
+from llm_tab_cleaner_spark.operators.quality_filter import apply_quality_filter, audit_trail
+from llm_tab_cleaner_spark.sources.state import StateStore
+
+
+@dataclass
+class PipelineConfig:
+    confidence_threshold: float = TH.CONF_THRESHOLD
+    num_partitions: int | None = None  # None → let AQE decide (no extra shuffle)
+    salt_buckets: int = 16
+    state_dir: str | None = None  # enables incremental resume when set
+
+
+@dataclass
+class CleaningReport:
+    """Driver-side summary (reference: CleaningReport core.py:162-176)."""
+
+    total_files: int
+    kept: int
+    dropped: int
+    scrubbed: int
+    avg_confidence: float
+    quality_score: float
+    rule_counts: dict[str, int] = field(default_factory=dict)
+    processing_time: float = 0.0
+
+    @property
+    def keep_rate(self) -> float:
+        return self.kept / self.total_files if self.total_files else 0.0
+
+
+class CleanPipeline:
+    def __init__(self, spark: SparkSession, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.model: ScoringModel | None = None
+        self.state = StateStore(self.config.state_dir) if self.config.state_dir else None
+
+    # ---- core run ----
+    def score(self, df: DataFrame) -> DataFrame:
+        result, self.model = apply_quality_filter(
+            df,
+            self.spark,
+            model=self.model,
+            threshold=self.config.confidence_threshold,
+            num_partitions=self.config.num_partitions,
+            salt_buckets=self.config.salt_buckets,
+        )
+        return result
+
+    def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """→ (result, audit). Lazy: caller triggers the action."""
+        result = self.score(df)
+        return result, audit_trail(result)
+
+    def run_incremental(self, df: DataFrame, batch_id: str | None = None) -> tuple[DataFrame, DataFrame, str]:
+        """Anti-join away already-processed rows, run, commit state atomically.
+
+        Exact-resume contract (incremental.py:46-85): a batch is visible only
+        after its manifest flip, so a crash mid-run reprocesses that batch and
+        nothing else; output for already-committed rows is never recomputed.
+        """
+        if self.state is None:
+            raise ValueError("PipelineConfig.state_dir required for incremental runs")
+        hashed = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        fresh = self.state.filter_new(hashed, self.spark).drop("content_sha256")
+        result = self.score(fresh)
+        result.persist()
+        result.count()  # materialize before commit so state matches output
+        committed = self.state.commit(result, batch_id)
+        return result, audit_trail(result), committed
+
+    def run_and_write(
+        self, df: DataFrame, output_path: str, audit_path: str | None = None
+    ) -> CleaningReport:
+        """Run + write cleaned parquet (kept rows, scrubbed content) + audit
+        parquet; return the aggregated report (spark.py:67-156 analog)."""
+        t0 = time.time()
+        result, audit = self.run(df)
+        result.persist()
+        (
+            result.filter(F.col("keep"))
+            .select(
+                "repo", "path", "commit", "lang",
+                F.col("content_clean").alias("content"),
+                "content_sha256", "clean_sha256", "confidence",
+            )
+            .write.mode("overwrite")
+            .parquet(output_path)
+        )
+        if audit_path:
+            audit.write.mode("overwrite").parquet(audit_path)
+        report = self.report(result)
+        report.processing_time = time.time() - t0
+        result.unpersist()
+        return report
+
+    # ---- aggregation (one distributed pass) ----
+    def report(self, result: DataFrame) -> CleaningReport:
+        row = result.agg(
+            F.count("*").alias("total"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum((F.size("scrub_rules") > 0).cast("long")).alias("scrubbed"),
+            F.avg("confidence").alias("avg_conf"),
+        ).collect()[0]
+        rule_rows = (
+            result.select(F.explode("rules_fired").alias("f"))
+            .groupBy(F.col("f.rule").alias("rule"))
+            .count()
+            .collect()
+        )
+        total = row["total"] or 0
+        kept = row["kept"] or 0
+        avg_conf = float(row["avg_conf"] or 0.0)
+        # quality heuristic mirrors core.py:589-612's shape
+        quality = min(1.0, 0.8 + (kept / total) * 0.1 + avg_conf * 0.1) if total else 0.0
+        return CleaningReport(
+            total_files=total,
+            kept=int(kept),
+            dropped=int(total - kept),
+            scrubbed=int(row["scrubbed"] or 0),
+            avg_confidence=avg_conf,
+            quality_score=quality,
+            rule_counts={r["rule"]: r["count"] for r in rule_rows},
+        )

@@ -1,0 +1,54 @@
+"""SparkSession factory with the configs the engine assumes.
+
+Mirrors the session the reference builds at
+``/root/reference/src/llm_tab_cleaner/spark.py:214-221, 414-428`` (AQE,
+coalescePartitions, skewJoin, Arrow) but tuned for this engine:
+UTC session TZ (duckdb-oracle parity), Arrow batches sized for code files,
+shuffle partitions ≈ cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "llm_tab_cleaner_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession configured for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. On a real cluster
+    the master/memory settings come from spark-submit instead; every other
+    config here is cluster-safe.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # code files are big strings: keep Arrow batches modest so a batch of
+        # ~2k files stays well under executor memory even with 100 KB files
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

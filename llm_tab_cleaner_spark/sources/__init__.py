@@ -1,0 +1,1 @@
+"""Sources & sinks: IO helpers and the state/checkpoint store."""
