@@ -1,0 +1,124 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: quality-filter throughput (files/sec) over a code-files
+table synthesized deterministically at a size matching the SF dir
+(BASELINE.json: "files/sec on Iceberg code-repo table at SF=0.1"), plus
+per-query wall times for the operator suite on the driver's parquet tables.
+
+Scaling evidence (north_rule N→4N): run with SPARK_GRAFT_SCALING=1 to also
+measure the same quality-filter job at local[N] and local[4N] (N = cpus/4)
+and report efficiency = (throughput_4N / throughput_N) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# code-files fixture rows per SF: sf0.1 → 100k (FIXTURES.md sizing)
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_FILES = max(1000, int(1_000_000 * SF))
+
+BENCH_QUERIES = [
+    "pricing_summary", "region_revenue", "top_customers", "window_top_orders",
+    "doc_stats", "scrub_parity", "native_rules_docs", "token_topk",
+    "cosine_topk", "knn_brute", "minhash_pairs", "simhash_pairs",
+]
+
+
+def _fixture_path(n_rows: int) -> str:
+    """Write (once, cached) the deterministic code-files fixture parquet."""
+    out_dir = f"/tmp/spark_graft_fixture/n{n_rows}"
+    marker = os.path.join(out_dir, "_done")
+    if not os.path.exists(marker):
+        from llm_tab_cleaner_spark.fixtures.code_files import write_fixture
+
+        write_fixture(out_dir, n_rows, seed=42)
+        open(marker, "w").close()
+    return os.path.join(out_dir, "code_files.parquet")
+
+
+def run_quality_filter(cpus: int, n_rows: int) -> tuple[float, int]:
+    """Run the full pipeline at `cpus` parallelism; return (seconds, rows).
+    Fresh session per call so parallelism actually changes."""
+    from pyspark.sql import SparkSession
+
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+    from llm_tab_cleaner_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = build_session(app_name=f"bench_qf_{cpus}", cpus=cpus)
+    path = _fixture_path(n_rows)
+    df = spark.read.parquet(path)
+    pipe = CleanPipeline(spark, PipelineConfig(num_partitions=cpus * 2))
+    # warm: trigger codegen+UDF once on a tiny slice so JIT cost is excluded
+    warm, _ = pipe.run(df.limit(256))
+    warm.agg({"keep": "count"}).collect()
+    t0 = time.time()
+    result, _audit = pipe.run(df)
+    n = result.filter("keep").count()
+    dt = time.time() - t0
+    spark.stop()
+    return dt, n
+
+
+def main() -> None:
+    queries_sec: dict[str, float] = {}
+
+    # 1) headline: quality-filter files/sec at full CPUs
+    qf_sec, _kept = run_quality_filter(CPUS, N_FILES)
+    files_per_sec = N_FILES / qf_sec
+    queries_sec["quality_filter"] = round(qf_sec, 3)
+
+    # 2) operator suite on the driver's parquet tables
+    from llm_tab_cleaner_spark.session import build_session
+    import __spark_entry__ as entry
+
+    spark = build_session(app_name="bench_ops", cpus=CPUS)
+    qs = entry.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        queries_sec[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    out = {
+        "metric": "quality_filter_files_per_sec",
+        "value": round(files_per_sec, 1),
+        "unit": "files/sec",
+        "queries": queries_sec,
+        "sf": SF,
+        "n_files": N_FILES,
+        "cpus": CPUS,
+    }
+
+    # 3) optional N→4N scaling evidence
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        n_small = max(2, CPUS // 4)
+        t_small, _ = run_quality_filter(n_small, N_FILES)
+        t_big, _ = run_quality_filter(CPUS, N_FILES)
+        thr_small = N_FILES / t_small
+        thr_big = N_FILES / t_big
+        out["scaling"] = {
+            "cpus_n": n_small,
+            "cpus_4n": CPUS,
+            "files_per_sec_n": round(thr_small, 1),
+            "files_per_sec_4n": round(thr_big, 1),
+            "efficiency": round((thr_big / thr_small) / (CPUS / n_small), 3),
+        }
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""Deduplication family for training-data pipelines.
+
+Beyond the reference's exact record-hash dedup
+(/root/reference/src/llm_tab_cleaner/incremental.py:248-281), this adds the
+near-dup operators a 100 TB corpus pipeline needs: MinHash+LSH, SimHash, and
+n-gram Jaccard verification. Scale notes per operator:
+
+* exact: hash-groupBy — one shuffle on the 16-byte digest, map-side combine.
+* minhash: signatures in one Arrow-batched UDF (numpy reduceat across the
+  batch), LSH banding natively (slice + hash), candidate pairs via a
+  self-join on (band, band_hash) — shuffle keyed on tiny band hashes, never
+  on document text. At 10^12 docs you'd bucket-partition the band table.
+* simhash: 64-bit signature UDF + native banding on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], content_col: str) -> DataFrame:
+    """Keep one deterministic winner (min key) per identical content digest."""
+    digest = F.sha2(F.col(content_col), 256).alias("_digest")
+    w = df.select(*key_cols, content_col, digest)
+    winners = w.groupBy("_digest").agg(
+        F.min(F.struct(*[F.col(k) for k in key_cols])).alias("_winner"),
+        F.count(F.lit(1)).alias("copies"),
+    )
+    return winners.select(
+        *[F.col(f"_winner.{k}").alias(k) for k in key_cols],
+        F.col("_digest").alias("content_digest"),
+        "copies",
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    data = np.frombuffer(text.encode("utf-8", "replace"), dtype=np.uint8)
+    if data.size < k:
+        return np.zeros(1, dtype=np.int64)
+    x = data.astype(np.int64)
+    h = np.zeros(data.size - k + 1, dtype=np.int64)
+    for j in range(k):
+        h = (h * 257 + x[j : data.size - k + 1 + j]) % _MERSENNE
+    return np.unique(h)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """id_cols + minhash signature (array<bigint>, length num_hashes).
+
+    One iterator pandas UDF; per batch, all shingle hashes are concatenated
+    and the per-row min over each of the `num_hashes` permutations is taken
+    with np.minimum.reduceat — vectorized across the batch.
+    """
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            per_row = [
+                _shingle_hashes(t if isinstance(t, str) else "", shingle_k) for t in texts
+            ]
+            lens = np.fromiter((p.size for p in per_row), dtype=np.int64, count=len(per_row))
+            blob = np.concatenate(per_row) if per_row else np.zeros(0, dtype=np.int64)
+            # (S, H) permuted hashes — chunk over H to bound memory
+            starts = np.zeros(len(per_row), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.empty((len(per_row), num_hashes), dtype=np.int64)
+            for h0 in range(0, num_hashes, 16):
+                h1 = min(h0 + 16, num_hashes)
+                m = (blob[:, None] * a[None, h0:h1] + b[None, h0:h1]) % _MERSENNE
+                sigs[:, h0:h1] = np.minimum.reduceat(m, starts, axis=0)
+            yield pd.Series(list(sigs))
+
+    return df.select(*id_cols, sig_udf(F.col(content_col)).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_cols: list[str], num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signatures and emit candidate near-dup pairs.
+
+    bucket key = (band_id, hash(signature slice)); pairs come from a
+    self-join on the bucket key with id_a < id_b. The joined payload is only
+    ids + band keys — documents never shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    banded = sig_df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice(F.col("minhash"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(*id_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.select(
+        "band", "bucket", *[F.col(c).alias(f"{c}_a") for c in id_cols]
+    )
+    right = banded.select(
+        "band", "bucket", *[F.col(c).alias(f"{c}_b") for c in id_cols]
+    )
+    first = id_cols[0]
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
+        .select(*[f"{c}_a" for c in id_cols], *[f"{c}_b" for c in id_cols])
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(pair_df: DataFrame, sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of equal signature
+    slots (zip_with + aggregate — native, no UDF)."""
+    a = sig_df.select(F.col(id_col).alias(f"{id_col}_a"), F.col("minhash").alias("_sa"))
+    b = sig_df.select(F.col(id_col).alias(f"{id_col}_b"), F.col("minhash").alias("_sb"))
+    eq = F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int"))
+    jac = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.size("_sa")
+    return (
+        pair_df.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
+        .withColumn("jaccard_est", F.round(jac, 4))
+        .drop("_sa", "_sb")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_cols: list[str], content_col: str, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized per batch)."""
+
+    @F.pandas_udf("long")
+    def sim_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        bit_cols = np.arange(64, dtype=np.uint64)
+        for texts in it:
+            out = np.zeros(len(texts), dtype=np.int64)
+            tok_hashes: list[np.ndarray] = []
+            lens = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = (t or "").split()
+                hs = np.fromiter(
+                    (hash_token(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+                )
+                tok_hashes.append(hs)
+                lens[i] = hs.size
+            blob = (
+                np.concatenate(tok_hashes) if tok_hashes else np.zeros(0, dtype=np.uint64)
+            )
+            if blob.size:
+                bits = ((blob[:, None] >> bit_cols[None, :]) & 1).astype(np.int64) * 2 - 1
+                starts = np.zeros(len(texts), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                votes = np.add.reduceat(bits, np.minimum(starts, max(blob.size - 1, 0)), axis=0)
+                empty = lens == 0
+                packed = ((votes > 0).astype(np.uint64) << bit_cols[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out = packed.view(np.int64)
+                out[empty] = 0
+            yield pd.Series(out)
+
+    return df.select(*id_cols, sim_udf(F.col(content_col)).alias("simhash"))
+
+
+def hash_token(tok: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per process)."""
+    h = 0xCBF29CE484222325
+    for ch in tok.encode("utf-8", "replace"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_near_dup_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
+    (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), self-join per chunk,
+    verify hamming natively with bit_count(xor)."""
+    chunks = sim_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    a = chunks.select(
+        "chunk", "key", F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_ha")
+    )
+    b = chunks.select(
+        "chunk", "key", F.col(id_col).alias(f"{id_col}_b"), F.col("simhash").alias("_hb")
+    )
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .withColumn("hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(f"{id_col}_a", f"{id_col}_b", "hamming")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, content_col: str, n: int = 3, min_jaccard: float = 0.8
+) -> DataFrame:
+    """Exact token-n-gram Jaccard for all pairs sharing ≥1 n-gram — the
+    verification stage after LSH candidates (or standalone at small scale).
+    Fully native: n-grams via sequence+transform, |A∩B| via groupBy pair,
+    |A∪B| = |A|+|B|−|A∩B|."""
+    toks = F.filter(F.split(F.trim(F.col(content_col)), r"\s+"), lambda t: F.length(t) > 0)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    sizes = g.select("id", F.size("grams").alias("n_grams"))
+    exploded = g.select("id", F.explode("grams").alias("gram"))
+    inter = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "gram")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

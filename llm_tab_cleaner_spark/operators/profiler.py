@@ -1,0 +1,111 @@
+"""Distributed table/column profiling — the reference's DataProfiler
+(/root/reference/src/llm_tab_cleaner/profiler.py:90-514) recast as single-pass
+DataFrame aggregations (SURVEY.md §2.4 A1-A16).
+
+Where the reference loops per column in pandas, every stat here is one
+``df.agg(...)`` pass (partial + final aggregation, map-side combine free),
+and anomaly passes are two-stage: tiny stats aggregate → broadcast filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_stats(df: DataFrame, col: str, numeric: bool = True) -> DataFrame:
+    """A1-A4: null count/pct, exact distinct, numeric stats — one agg pass.
+    (Reference computes these with separate .count() jobs, spark.py:183-184.)"""
+    c = F.col(col)
+    aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(c.isNull().cast("bigint")).alias("null_count"),
+        F.count_distinct(c).alias("distinct_count"),
+    ]
+    if numeric:
+        aggs += [
+            F.min(c).alias("min_value"),
+            F.max(c).alias("max_value"),
+            F.round(F.avg(c), 4).alias("avg_value"),
+        ]
+    else:
+        aggs += [
+            F.min(F.length(c)).alias("min_length"),
+            F.max(F.length(c)).alias("max_length"),
+            F.round(F.avg(F.length(c)), 4).alias("avg_length"),
+        ]
+    return df.agg(*aggs)
+
+
+def topk_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """A5/W1: top-k common values (hash agg + TakeOrderedAndProject)."""
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(k)
+    )
+
+
+def duplicate_row_count(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A6: rows minus distinct rows over `cols`."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.struct(*[F.col(c) for c in cols]))).alias(
+            "dup_count"
+        )
+    )
+
+
+def zscore_outliers(df: DataFrame, col: str, z: float = 3.0) -> DataFrame:
+    """A7: two-pass z-score outliers — 1-row stats agg cross-joined (broadcast)
+    into the filter, so the scan side never shuffles."""
+    c = F.col(col)
+    stats = df.agg(F.avg(c).alias("_mu"), F.stddev_samp(c).alias("_sigma"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(F.abs(c - F.col("_mu")) > z * F.col("_sigma"))
+        .drop("_mu", "_sigma")
+    )
+
+
+def rare_categories(df: DataFrame, col: str, max_frac: float = 0.01) -> DataFrame:
+    """A9: category values rarer than `max_frac` of rows."""
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") < F.col("_total") * max_frac)
+        .drop("_total")
+    )
+
+
+def correlation(df: DataFrame, c1: str, c2: str) -> DataFrame:
+    """A14: Pearson correlation of two numeric columns (rounded for oracle
+    comparability across engines)."""
+    return df.agg(F.round(F.corr(F.col(c1), F.col(c2)), 4).alias("corr_value"))
+
+
+def fk_containment(df: DataFrame, child_col: str, parent_df: DataFrame, parent_col: str) -> DataFrame:
+    """A13/J2: count of child values NOT present in parent (0 → potential FK).
+    Reference uses Python set issubset (profiler.py:479-489); here it's a
+    distinct + left-anti join, fully distributed."""
+    child = df.select(F.col(child_col).alias("v")).distinct()
+    parent = parent_df.select(F.col(parent_col).alias("v")).distinct()
+    return child.join(parent, "v", "left_anti").agg(
+        F.count(F.lit(1)).alias("missing_count")
+    )
+
+
+def calibration_bins(df: DataFrame, conf_col: str, label_col: str, n_bins: int = 10) -> DataFrame:
+    """A17: reliability bins — groupBy floor(conf*n) → avg label vs avg conf
+    (reference: confidence.py:267-287 via np.digitize)."""
+    b = F.least(F.floor(F.col(conf_col) * n_bins), F.lit(n_bins - 1)).alias("bin")
+    return (
+        df.groupBy(b)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg(F.col(conf_col)), 4).alias("avg_conf"),
+            F.round(F.avg(F.col(label_col).cast("double")), 4).alias("avg_label"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators for training-data pipelines — all native exprs.
+
+Language-ID (n-gram heuristic form), quality scoring, token counting,
+document fingerprinting. These are the SQL-expressible siblings of the
+model-based scorer in functions/scoring.py; both exist because the native
+forms cost nothing (codegen) and cross-check the UDF path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions import text_features as TF
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the BPE-ish variant splits punctuation too)."""
+    return TF.n_tokens(col)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish proxy: count word chunks AND punctuation runs separately
+    (a regex stand-in for BPE tokenization cost estimates)."""
+    spaced = F.regexp_replace(col, r"([^\w\s])", " $1 ")
+    pieces = F.filter(F.split(spaced, r"\s+"), lambda t: F.length(t) > 0)
+    return F.size(pieces)
+
+
+def normalized_text(col: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical form for fingerprints
+    (mirrors reference text normalization, multimodal_cleaning.py:181-210)."""
+    return F.lower(F.regexp_replace(TF.ws_strip(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality score from native features (reference shape:
+    profiler.py:447-462 — weighted deductions, clamped)."""
+    uniq = TF.unique_token_ratio(col)
+    alnum = TF.alnum_ratio(col)
+    short_pen = F.when(TF.n_tokens(col) < 10, F.lit(0.3)).otherwise(F.lit(0.0))
+    raw = F.lit(1.0) - 0.4 * (F.lit(1.0) - uniq) - 0.3 * (F.lit(1.0) - alnum) - short_pen
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 4)
+
+
+def language_guess(col: Column) -> Column:
+    """Keyword-heuristic language id (native; see text_features.keyword_langid)."""
+    return TF.keyword_langid(col)
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Array of character n-grams — native substring windows."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
+        lambda i: F.substring(col, i, n),
+    )
+
+
+def rolling_hash_fingerprints(col: Column, n: int = 8, keep_mod: int = 16) -> Column:
+    """Winnowing-style selective fingerprints: hash every char n-gram, keep
+    those ≡ 0 (mod keep_mod) — a deterministic sketch of the document usable
+    for containment checks. Fully native (sequence/transform/filter)."""
+    grams = char_ngrams(col, n)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    return F.array_distinct(
+        F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    )
+
+
+def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document stat bundle."""
+    c = F.col(text_col)
+    return df.select(
+        id_col,
+        F.length(c).alias("n_chars_calc"),
+        token_count(c).alias("n_tokens"),
+        F.round(TF.unique_token_ratio(c), 4).alias("unique_token_ratio"),
+        F.round(TF.alnum_ratio(c), 4).alias("alnum_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,39 @@
+"""Shared fixtures. One session-scoped SparkSession (JVM start ≈25s in this
+sandbox, codegen JIT ≈ first-use; see .claude/skills/verify/SKILL.md)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from llm_tab_cleaner_spark.session import build_session
+
+    s = build_session(app_name="pytest", cpus=8, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def code_files_small():
+    from llm_tab_cleaner_spark.fixtures.code_files import generate_code_files
+
+    return generate_code_files(1500, seed=42)
+
+
+@pytest.fixture(scope="session")
+def scored_small(spark, code_files_small):
+    """Run the full pipeline once; many tests share the collected result."""
+    from llm_tab_cleaner_spark import CleanPipeline
+
+    cf, labels = code_files_small
+    pipe = CleanPipeline(spark)
+    result, audit = pipe.run(spark.createDataFrame(cf))
+    pdf = result.toPandas()
+    merged = pdf.merge(labels, on=["repo", "path", "commit"], validate="1:1")
+    return merged, audit

@@ -1,0 +1,70 @@
+"""Dedup operators on planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the parade marches through the quiet town square at noon today"
+    )
+    rows = []
+    for i in range(40):
+        rows.append((i, f"distinct document number {i} " + " ".join(f"w{i}_{j}" for j in range(30))))
+    # exact dup pair
+    rows.append((100, base))
+    rows.append((101, base))
+    # near dups (one word changed)
+    rows.append((200, base))
+    rows.append((201, base.replace("noon", "dusk")))
+    # unrelated
+    rows.append((300, "completely different content " + " ".join(f"z{j}" for j in range(40))))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, ["doc_id"], "text").toPandas()
+    dupes = out[out.copies > 1]
+    # (100,101) identical; 200 shares their text too → one digest with 3 copies
+    assert len(dupes) == 1 and dupes.iloc[0].copies == 3
+    assert dupes.iloc[0].doc_id == 100  # min-key winner
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = dedup.minhash_signatures(docs, ["doc_id"], "text", 64, 5)
+    pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16)
+    est = dedup.minhash_jaccard_estimate(pairs, sigs, "doc_id").toPandas()
+    found = set(map(tuple, est[["doc_id_a", "doc_id_b"]].values))
+    assert (100, 101) in found and (100, 200) in found
+    assert (200, 201) in found  # near-dup caught by banding
+    ident = est[(est.doc_id_a == 100) & (est.doc_id_b == 101)]
+    assert (ident.jaccard_est == 1.0).all()
+    near = est[(est.doc_id_a == 200) & (est.doc_id_b == 201)]
+    assert (near.jaccard_est > 0.6).all()
+    # no false pair against the unrelated doc
+    assert not any(300 in p for p in found)
+
+
+def test_simhash_near_dups(docs):
+    sims = dedup.simhash_signatures(docs, ["doc_id"], "text")
+    pairs = dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=6).toPandas()
+    found = set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].values))
+    assert (100, 101) in found  # identical → hamming 0
+    assert (200, 201) in found
+    h0 = pairs[(pairs.doc_id_a == 100) & (pairs.doc_id_b == 101)]
+    assert (h0.hamming == 0).all()
+
+
+def test_ngram_jaccard(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5).toPandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert (100, 101) in found
+    j = out[(out.id_a == 100) & (out.id_b == 101)].jaccard.iloc[0]
+    assert j == 1.0

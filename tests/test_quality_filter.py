@@ -1,0 +1,98 @@
+"""End-to-end quality-filter contract vs golden labels (BASELINE.json gates:
+F1 ≥ 0.99, byte-identical scrub, sha256 equality on untouched rows)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _f1(merged: pd.DataFrame) -> float:
+    tp = int((merged.keep & merged.expected_keep).sum())
+    fp = int((merged.keep & ~merged.expected_keep).sum())
+    fn = int((~merged.keep & merged.expected_keep).sum())
+    return 2 * tp / (2 * tp + fp + fn)
+
+
+def test_keep_drop_f1(scored_small):
+    merged, _ = scored_small
+    assert _f1(merged) >= 0.99
+
+
+def test_scrub_byte_identical(scored_small):
+    merged, _ = scored_small
+    assert (merged.content_clean == merged.content_scrubbed).all()
+
+
+def test_sha_invariant_on_untouched(scored_small):
+    merged, _ = scored_small
+    untouched = merged[~merged.has_pii]
+    assert (untouched.clean_sha256 == untouched.content_sha256).all()
+    touched = merged[merged.has_pii]
+    assert (touched.clean_sha256 != touched.content_sha256).all()
+
+
+def test_confidence_contract(scored_small):
+    merged, _ = scored_small
+    # normal keeps are confident (FIXTURES.md: keep conf >= 0.85)
+    norm = merged[merged.label_class == "normal"]
+    assert norm.confidence.min() >= 0.85
+    # nullish drops carry the nullish rule confidence
+    nullish = merged[merged.label_class == "nullish"]
+    assert (nullish.confidence == 0.95).all()
+    # borderline classes sit just each side of the 0.8 gate
+    bk = merged[merged.label_class == "borderline_keep"]
+    assert bk.keep.all() and (bk.confidence < 0.8).all()
+    bd = merged[merged.label_class == "borderline_drop"]
+    assert (~bd.keep).all() and (bd.confidence >= 0.8).all() and (bd.confidence <= 0.86).all()
+
+
+def test_rule_attribution(scored_small):
+    """Max-confidence-wins: the winning rule matches the label class."""
+    merged, _ = scored_small
+    expect = {
+        "minified": "minified_long_line",
+        "autogen": "autogen_boilerplate",
+        "low_alnum": "low_alnum_ratio",
+        "repetition": "excessive_repetition",
+        "wrong_lang": "lang_mismatch",
+        "garbled": "high_perplexity",
+    }
+    for cls, rule in expect.items():
+        rows = merged[merged.label_class == cls]
+        assert len(rows) > 0
+        for fired in rows.rules_fired:
+            top = max(fired, key=lambda s: s["confidence"])
+            assert top["rule"] == rule, (cls, fired)
+
+
+def test_audit_trail(scored_small, spark):
+    merged, audit = scored_small
+    a = audit.toPandas()
+    assert set(a.columns) == {
+        "repo", "path", "commit", "rule_fired", "confidence", "decision",
+        "before_sha256", "after_sha256", "partition_id",
+    }
+    # every dropped row has at least one drop-decision audit entry
+    dropped_keys = set(map(tuple, merged[~merged.keep][["repo", "path", "commit"]].values))
+    audit_drop_keys = set(map(tuple, a[a.decision == "drop"][["repo", "path", "commit"]].values))
+    assert dropped_keys == audit_drop_keys
+    # every scrubbed row has scrub entries with before != after hash
+    scrubs = a[a.decision == "scrub"]
+    assert len(scrubs) > 0
+    assert (scrubs.before_sha256 != scrubs.after_sha256).all()
+
+
+def test_salted_repartition_spreads_giant_repo(spark, code_files_small):
+    from llm_tab_cleaner_spark.operators.quality_filter import salted_repartition
+
+    cf, _ = code_files_small
+    df = spark.createDataFrame(cf)
+    parts = (
+        salted_repartition(df.filter(F.col("repo") == "repo_giant"), 8, salt_buckets=8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()
+    )
+    # the giant repo must land on >1 partition (no skew serialization)
+    assert len(parts) >= 4
+    assert parts["count"].max() < parts["count"].sum() * 0.5

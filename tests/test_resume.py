@@ -1,0 +1,72 @@
+"""Exact-resume contract (FIXTURES.md §F5 / incremental.py semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def test_two_batch_resume_equals_single_shot(spark, code_files_small, tmp_path):
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    cf, _ = code_files_small
+    cf = cf.iloc[:600]
+    half = spark.createDataFrame(cf.iloc[:300])
+    full = spark.createDataFrame(cf)
+
+    cfg = PipelineConfig(state_dir=str(tmp_path / "state"))
+    pipe = CleanPipeline(spark, cfg)
+    r1, _, _ = pipe.run_incremental(half, "b1")
+    p1 = r1.select("repo", "path", "commit", "keep", "confidence", "clean_sha256").toPandas()
+    r2, _, _ = pipe.run_incremental(full, "b2")
+    p2 = r2.select("repo", "path", "commit", "keep", "confidence", "clean_sha256").toPandas()
+
+    # batch-2 run must not reprocess batch-1 content
+    assert len(p2) <= 300
+    overlap = set(p1.commit) & set(p2.commit)
+    assert not overlap
+
+    # union of the two incremental runs == single-shot run (same decisions)
+    single, _ = CleanPipeline(spark).run(full)
+    ps = single.select("repo", "path", "commit", "keep", "confidence", "clean_sha256").toPandas()
+    both = pd.concat([p1, p2], ignore_index=True)
+    j = ps.merge(both, on=["repo", "path", "commit"], suffixes=("_s", "_i"))
+    # every single-shot row whose content hash was processed has equal outcome
+    assert (j.keep_s == j.keep_i).all()
+    assert (j.clean_sha256_s == j.clean_sha256_i).all()
+
+
+def test_crash_before_manifest_is_invisible(spark, code_files_small, tmp_path):
+    """Data files written but manifest not flipped → batch reprocessed."""
+    import os
+
+    from llm_tab_cleaner_spark.sources.state import StateStore
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    cf, _ = code_files_small
+    df = spark.createDataFrame(cf.iloc[:200])
+    cfg = PipelineConfig(state_dir=str(tmp_path / "state2"))
+    pipe = CleanPipeline(spark, cfg)
+    r1, _, bid = pipe.run_incremental(df, "bx")
+    assert r1.count() > 0
+
+    # simulate crash-before-commit: delete manifest, keep the batch dir
+    store = StateStore(cfg.state_dir)
+    os.remove(os.path.join(cfg.state_dir, "_manifest.json"))
+    assert store.committed_batches() == []
+    r2, _, _ = pipe.run_incremental(df, "bx2")
+    assert r2.count() == r1.count()  # fully reprocessed, exactly once
+
+
+def test_reprocess_low_confidence(spark, code_files_small, tmp_path):
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    cf, _ = code_files_small
+    df = spark.createDataFrame(cf.iloc[:300])
+    cfg = PipelineConfig(state_dir=str(tmp_path / "state3"))
+    pipe = CleanPipeline(spark, cfg)
+    r1, _, _ = pipe.run_incremental(df, "b1")
+    n_low = r1.filter("confidence < 0.9").count()
+    removed = pipe.state.reprocess_low_confidence(spark, 0.9)
+    assert removed == n_low
+    r2, _, _ = pipe.run_incremental(df, "b2")
+    assert r2.count() == n_low  # exactly the released rows re-enter

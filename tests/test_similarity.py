@@ -1,0 +1,58 @@
+"""Similarity search vs numpy ground truth."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": list(map(list, m))})
+    return spark.createDataFrame(pdf), m
+
+
+def test_cosine_topk_matches_numpy(vecs):
+    df, m = vecs
+    q = m[0].astype(np.float64)
+    sims = (m.astype(np.float64) @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    expected = np.argsort(-np.round(sims, 4), kind="stable")[:10]
+    out = similarity.cosine_topk(df, "vec_id", "embedding", list(map(float, m[0])), 10).toPandas()
+    assert list(out.vec_id) == list(expected)
+    np.testing.assert_allclose(out.cosine, np.round(sims[expected], 4), atol=1e-9)
+
+
+def test_lsh_topk_subset_of_bucket(vecs):
+    df, m = vecs
+    out = similarity.lsh_topk(df, "vec_id", "embedding", list(map(float, m[0])), 10, n_planes=4, seed=1).toPandas()
+    assert 0 in set(out.vec_id)  # the query's own vector is in its own bucket
+    assert out.cosine.iloc[0] == 1.0
+    assert (out.cosine.values[:-1] >= out.cosine.values[1:]).all()
+
+
+def test_knn_join_brute(vecs):
+    df, m = vecs
+    left = df.filter("vec_id < 3")
+    out = similarity.knn_join_brute(left, df.filter("vec_id >= 3"), "vec_id", "vec_id", "embedding", 4).toPandas()
+    assert set(out.qid) == {0, 1, 2}
+    assert (out.groupby("qid").size() == 4).all()
+    md = m.astype(np.float64)
+    norms = np.linalg.norm(md, axis=1)
+    for qid in range(3):
+        sims = (md[3:] @ md[qid]) / (norms[3:] * norms[qid])
+        best = int(np.argmax(np.round(sims, 4)) + 3)
+        got = out[(out.qid == qid) & (out.rank == 1)].nid.iloc[0]
+        assert got == best
+
+
+def test_ivf_assign_deterministic(vecs):
+    df, _ = vecs
+    a = similarity.ivf_assign(df, "vec_id", "embedding", 8, 16).toPandas()
+    b = similarity.ivf_assign(df, "vec_id", "embedding", 8, 16).toPandas()
+    assert (a.sort_values("vec_id").cell.values == b.sort_values("vec_id").cell.values).all()
+    assert a.cell.nunique() > 1
