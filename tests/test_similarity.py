@@ -46,7 +46,7 @@ def test_knn_join_brute(vecs):
     for qid in range(3):
         sims = (md[3:] @ md[qid]) / (norms[3:] * norms[qid])
         best = int(np.argmax(np.round(sims, 4)) + 3)
-        got = out[(out.qid == qid) & (out.rank == 1)].nid.iloc[0]
+        got = out[(out.qid == qid) & (out["rank"] == 1)].nid.iloc[0]
         assert got == best
 
 
