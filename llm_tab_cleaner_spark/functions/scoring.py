@@ -39,11 +39,16 @@ SCORE_SCHEMA = "lang_pred string, lang_margin double, ppl_bits double"
 
 
 def _trigram_buckets(data: np.ndarray, n_buckets: int) -> np.ndarray:
-    """Hash every length-3 byte window: (b0*961 + b1*31 + b2) mod n_buckets."""
+    """Hash every length-3 byte window: (b0*961 + b1*31 + b2) & (n_buckets-1).
+
+    int32 end-to-end (max raw value 253k < 2^31) and bitwise-AND modulo —
+    the scorer is memory-bandwidth-bound, so halving intermediate widths
+    matters more than instruction count. n_buckets must be a power of two.
+    """
     if data.size < 3:
-        return np.empty(0, dtype=np.int64)
-    x = data.astype(np.int64)
-    return (x[:-2] * 961 + x[1:-1] * 31 + x[2:]) % n_buckets
+        return np.empty(0, dtype=np.int32)
+    x = data.astype(np.int32)
+    return (x[:-2] * 961 + x[1:-1] * 31 + x[2:]) & (n_buckets - 1)
 
 
 @dataclass
@@ -59,37 +64,51 @@ class ScoringModel:
         raw = [t.encode("utf-8", "replace") if isinstance(t, str) else b"" for t in texts]
         lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
         blob = np.frombuffer(b"".join(raw), dtype=np.uint8)
-        starts = np.zeros(len(raw), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-
         n = len(raw)
         out_lang = np.full(n, None, dtype=object)
         out_margin = np.zeros(n, dtype=np.float64)
         out_bits = np.zeros(n, dtype=np.float64)
 
         if blob.size >= 3:
-            pos = np.arange(blob.size - 2, dtype=np.int64)
-            # row owning each window start; window valid iff fully inside row
-            row_of = np.searchsorted(starts, pos, side="right") - 1
-            row_end = starts[row_of] + lens[row_of]
-            valid = pos + 3 <= row_end
-
-            hp = _trigram_buckets(blob, B_PPL)
-            bits = self.ppl_bits_table[hp].astype(np.float64)
+            # row id per byte (int32, one write/byte); a window starting at
+            # byte i is valid iff byte i and i+2 belong to the same row
+            byte_row = np.repeat(np.arange(n, dtype=np.int32), lens)
+            row_of = byte_row[:-2]
+            valid = row_of == byte_row[2:]
             rows_v = row_of[valid]
-            sums = np.bincount(rows_v, weights=bits[valid], minlength=n)
+            # ROW-LOCAL offset of each window (batch-composition-independent;
+            # a global stride would make scores depend on preceding rows)
+            starts32 = (np.cumsum(lens) - lens).astype(np.int32)
+            loc = np.arange(blob.size - 2, dtype=np.int32) - starts32[row_of]
+            loc_v = loc[valid]
+
+            # ONE hash pass feeds both tables: ppl bucket = h, lang bucket =
+            # h & (B_LANG-1). Everything is memory-bandwidth-bound — minimize
+            # intermediates (int32/float32, strided sampling for langid).
+            hp = _trigram_buckets(blob, B_PPL)
+            hp_v = hp[valid]
+            bits = self.ppl_bits_table[hp_v]  # float32 gather, table in L2
+            sums = np.bincount(rows_v, weights=bits, minlength=n)
             vcounts = np.bincount(rows_v, minlength=n).astype(np.float64)
             np.divide(sums, np.maximum(vcounts, 1.0), out=out_bits)
 
-            # langid: per-row histogram over B_LANG buckets, then NB logits
-            hl = _trigram_buckets(blob, B_LANG)
-            counts = np.zeros((n, B_LANG), dtype=np.float32)
-            np.add.at(counts, (row_of[valid], hl[valid]), 1.0)
-            logits = counts @ self.lang_logprob.T  # (n, L)
+            # langid NB logits without a dense (n, B_LANG) histogram (that
+            # 50 MB/batch allocation saturated bandwidth and anti-scaled at
+            # 32 workers): per language, gather log-probs (16 KB table,
+            # L1-resident) and weighted-bincount into n row sums. Row-local
+            # stride-3 sampling: 3× less traffic, margins are normalized
+            # per sampled trigram so thresholds are unaffected.
+            sample = loc_v % 3 == 0
+            hl_v = (hp_v & (B_LANG - 1))[sample]
+            rows_l = rows_v[sample]
+            logits = np.empty((n, len(self.languages)), dtype=np.float64)
+            for li in range(len(self.languages)):
+                vals = self.lang_logprob[li][hl_v]
+                logits[:, li] = np.bincount(rows_l, weights=vals, minlength=n)
             order = np.argsort(logits, axis=1)
             top1 = order[:, -1]
             top2 = order[:, -2]
-            tri_counts = counts.sum(axis=1)
+            tri_counts = np.bincount(rows_l, minlength=n).astype(np.float64)
             margin = (
                 logits[np.arange(n), top1] - logits[np.arange(n), top2]
             ) / np.maximum(tri_counts, 1.0)
