@@ -74,10 +74,11 @@ def run_quality_filter(cpus: int, n_rows: int) -> tuple[float, int]:
 def main() -> None:
     queries_sec: dict[str, float] = {}
 
-    # 0) optional N (=cpus/4) leg of the scaling evidence, before the headline
+    # 0) optional N (=cpus/4 or $SPARK_GRAFT_SCALING_N) leg of the scaling
+    # evidence, before the headline
     scaling_small = None
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        n_small = max(2, CPUS // 4)
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "0")) or max(1, CPUS // 4)
         t_small, _ = run_quality_filter(n_small, N_FILES)
         scaling_small = (n_small, t_small)
 

@@ -28,28 +28,38 @@ def n_lines(col: Column) -> Column:
 
 
 def max_line_len(col: Column) -> Column:
-    # array_max over transform(lines, length) — higher-order fn, still JVM-side
+    # array_max over transform(lines, length) — higher-order fn. NOT used in
+    # the hot path (one lambda de-codegens the whole collapsed Project and
+    # disables subexpression elimination); the quality filter uses
+    # has_long_line instead. Kept for profiling/oracle queries.
     return F.coalesce(
         F.array_max(F.transform(lines(col), lambda ln: F.length(ln))), F.lit(0)
     )
 
 
+def has_long_line(col: Column, max_len: int = TH.MAX_LINE_LEN) -> Column:
+    """Any line longer than max_len — single codegen-able regex scan,
+    equivalent to max_line_len(col) > max_len."""
+    return col.rlike(r"[^\n\r]{%d}" % (max_len + 1))
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokens, empty strings removed."""
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    """Whitespace tokens. ws_strip first so \\s+ splitting yields no empty
+    tokens (lambda-free — HOFs kill whole-stage codegen for the projection)."""
+    return F.split(ws_strip(col), r"\s+")
 
 
 def n_tokens(col: Column) -> Column:
-    return F.size(tokens(col))
+    return F.when(F.length(ws_strip(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
 def unique_token_ratio(col: Column) -> Column:
     """distinct tokens / tokens — low values mean pathological repetition
     (reference analog: multimodal_cleaning.py:169-172)."""
     toks = tokens(col)
-    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
-        F.lit(1.0)
-    )
+    return F.when(
+        n_tokens(col) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(1.0))
 
 
 def special_char_ratio(col: Column) -> Column:
@@ -121,11 +131,14 @@ def keyword_langid(col: Column) -> Column:
 
 
 def feature_columns(content: Column) -> dict[str, Column]:
-    """The full native feature bundle; select once, reuse downstream."""
+    """The full native feature bundle; select once, reuse downstream.
+    Deliberately lambda-free: any higher-order function in the collapsed
+    Project disables whole-stage codegen AND subexpression elimination for
+    every expression in it (measured ~2× on the full pipeline)."""
     return {
         "n_chars": n_chars(content).alias("n_chars"),
         "n_lines": n_lines(content).alias("n_lines"),
-        "max_line_len": max_line_len(content).alias("max_line_len"),
+        "has_long_line": has_long_line(content).alias("has_long_line"),
         "n_tokens": n_tokens(content).alias("n_tokens"),
         "unique_token_ratio": unique_token_ratio(content).alias("unique_token_ratio"),
         "alnum_ratio": alnum_ratio(content).alias("alnum_ratio"),

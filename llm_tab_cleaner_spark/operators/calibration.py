@@ -1,0 +1,134 @@
+"""Confidence calibration — the reference's ConfidenceCalibrator
+(/root/reference/src/llm_tab_cleaner/confidence.py:36-287) Spark-first:
+
+* fitting happens on the DRIVER over a (small) labeled sample — isotonic
+  regression via PAVA in pure numpy (no sklearn dependency) or histogram
+  binning, both deterministic;
+* application is a broadcast lookup compiled to a native CASE/when chain
+  (piecewise-constant calibrators need no UDF at all);
+* quality metrics (Brier, log-loss, reliability, sharpness —
+  confidence.py:156-195, 335-371) are one distributed agg pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pava(conf: np.ndarray, label: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pool-adjacent-violators: isotonic fit of P(correct | confidence).
+    Returns (breakpoints, values) of the fitted step function."""
+    order = np.argsort(conf, kind="stable")
+    x, y = conf[order], label[order].astype(np.float64)
+    # blocks: (sum, count); merge while decreasing
+    sums = list(y)
+    cnts = [1.0] * len(y)
+    xs = list(x)
+    i = 0
+    while i < len(sums) - 1:
+        if sums[i] / cnts[i] > sums[i + 1] / cnts[i + 1]:
+            sums[i] += sums.pop(i + 1)
+            cnts[i] += cnts.pop(i + 1)
+            xs.pop(i + 1)
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    vals = np.array([s / c for s, c in zip(sums, cnts)])
+    return np.asarray(xs), vals
+
+
+@dataclass
+class Calibrator:
+    method: str  # "isotonic" | "histogram"
+    breakpoints: np.ndarray  # ascending thresholds
+    values: np.ndarray  # calibrated probability per segment
+
+    def expr(self, conf_col: Column) -> Column:
+        """Compile the step function to a native when-chain (no UDF)."""
+        out = F.lit(float(self.values[0]))
+        for bp, v in zip(self.breakpoints[1:], self.values[1:]):
+            out = F.when(conf_col >= float(bp), F.lit(float(v))).otherwise(out)
+        return out
+
+    def apply_numpy(self, conf: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.breakpoints, conf, side="right") - 1
+        return self.values[np.clip(idx, 0, len(self.values) - 1)]
+
+
+def fit_calibrator(
+    df: DataFrame,
+    conf_col: str = "confidence",
+    label_col: str = "correct",
+    method: str = "isotonic",
+    n_bins: int = 10,
+    max_sample: int = 100_000,
+    seed: int = 42,
+) -> Calibrator:
+    """Fit on a bounded deterministic sample collected to the driver
+    (confidence.py:92-117's fit, minus sklearn)."""
+    sample = (
+        df.select(F.col(conf_col).alias("c"), F.col(label_col).cast("double").alias("y"))
+        .dropna()
+        .orderBy(F.md5(F.concat_ws("|", F.col("c"), F.col("y"))))  # stable pseudo-shuffle
+        .limit(max_sample)
+        .toPandas()
+    )
+    conf = sample["c"].to_numpy()
+    label = sample["y"].to_numpy()
+    if len(conf) < 10:
+        # reference warns below 10 samples (confidence.py:84-85) → identity
+        return Calibrator("identity", np.array([0.0]), np.array([np.nan]))
+
+    if method == "isotonic":
+        bps, vals = _pava(conf, label)
+        return Calibrator("isotonic", bps, vals)
+    # histogram binning (confidence.py:232-265)
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    idx = np.clip(np.digitize(conf, edges) - 1, 0, n_bins - 1)
+    vals = np.array(
+        [label[idx == b].mean() if (idx == b).any() else (edges[b] + edges[b + 1]) / 2 for b in range(n_bins)]
+    )
+    return Calibrator("histogram", edges[:-1], vals)
+
+
+def calibration_metrics(
+    df: DataFrame, conf_col: str = "confidence", label_col: str = "correct", n_bins: int = 10
+) -> dict:
+    """Brier, log-loss, reliability, sharpness in ONE distributed pass
+    (confidence.py:156-195, 335-371 recast as aggregations)."""
+    c = F.col(conf_col)
+    y = F.col(label_col).cast("double")
+    eps = 1e-15
+    cl = F.greatest(F.least(c, F.lit(1 - eps)), F.lit(eps))
+    binc = F.least(F.floor(c * n_bins), F.lit(n_bins - 1))
+    per_bin = (
+        df.groupBy(binc.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(c).alias("avg_conf"),
+            F.avg(y).alias("avg_label"),
+            F.avg(y * (1 - y)).alias("_v"),
+        )
+    ).toPandas()
+    scalar = df.agg(
+        F.avg(F.pow(c - y, 2)).alias("brier"),
+        F.avg(-(y * F.log(cl) + (1 - y) * F.log(1 - cl))).alias("log_loss"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    total = float(scalar["n"]) or 1.0
+    w = per_bin["n"] / total
+    reliability = float((w * (per_bin["avg_conf"] - per_bin["avg_label"]) ** 2).sum())
+    overall = float((per_bin["avg_label"] * per_bin["n"]).sum() / total)
+    sharpness = float((w * (per_bin["avg_label"] - overall) ** 2).sum())
+    return {
+        "brier_score": float(scalar["brier"]),
+        "log_loss": float(scalar["log_loss"]),
+        "reliability": reliability,
+        "sharpness": sharpness,
+        "n_samples": int(total),
+    }

@@ -1,0 +1,231 @@
+"""Declarative cleaning-rule compiler: rule specs → native Column plans.
+
+Re-expresses the reference's CleaningRule/RuleSet machinery
+(/root/reference/src/llm_tab_cleaner/cleaning_rule.py:14-175) without the
+per-value Python loop: every rule becomes a Column transform candidate, and
+RuleSet.apply_rules' max-confidence-wins selection (cleaning_rule.py:148-175
+— each rule sees the ORIGINAL value; the highest-confidence *change* wins,
+first rule wins ties) compiles to an array_max over (confidence, priority,
+value) structs. The confidence gate (core.py:374-377) applies the winning
+value only at/above the threshold.
+
+The default rule table mirrors create_default_rules
+(cleaning_rule.py:178-314) with identical confidences.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions.text_features import ws_strip
+
+NULLISH = (
+    "n/a", "na", "null", "none", "nil", "missing", "unknown", "undefined",
+    "blank", "empty", "tbd", "tba", "-", "--",
+)
+
+
+@dataclass
+class RuleSpec:
+    """One cleaning rule: a Column transform + applicability filters."""
+
+    name: str
+    confidence: float
+    transform: Callable[[Column], Column]
+    column_patterns: tuple[str, ...] = ()  # regex over column NAME; empty → all
+    description: str = ""
+
+    def applies_to(self, column: str) -> bool:
+        if not self.column_patterns:
+            return True
+        return any(re.search(p, column, re.IGNORECASE) for p in self.column_patterns)
+
+
+def _map_lookup(mapping: dict[str, str]) -> Callable[[Column], Column]:
+    """Broadcast example-map lookup (cleaning_rule.py:79-84): exact match on
+    lowercased/stripped value → replacement, else unchanged."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k.lower().strip()), F.lit(v)]
+    m = F.create_map(*pairs)
+    return lambda c: F.coalesce(m[F.lower(ws_strip(c))], c)
+
+
+STATE_MAP = {
+    "california": "CA", "new york": "NY", "texas": "TX", "florida": "FL",
+    "illinois": "IL", "pennsylvania": "PA", "ohio": "OH", "georgia": "GA",
+    "north carolina": "NC", "michigan": "MI", "new jersey": "NJ",
+    "virginia": "VA", "washington": "WA", "arizona": "AZ",
+    "massachusetts": "MA", "tennessee": "TN", "indiana": "IN",
+    "missouri": "MO", "maryland": "MD", "wisconsin": "WI",
+    "ca": "CA", "ny": "NY", "tx": "TX", "fl": "FL",
+}
+
+BOOL_MAP = {
+    "yes": "true", "y": "true", "true": "true", "1": "true", "on": "true",
+    "no": "false", "n": "false", "false": "false", "0": "false", "off": "false",
+}
+
+
+def _phone_standardize(c: Column) -> Column:
+    """standardize_phone (cleaning_rule.py:98-104): digits-only, 10 → XXX-XXX-XXXX,
+    11-with-leading-1 → same after dropping the 1, else unchanged."""
+    digits = F.regexp_replace(c, r"[^0-9]", "")
+    ten = F.when(
+        (F.length(digits) == 11) & digits.startswith("1"), F.substring(digits, 2, 10)
+    ).otherwise(digits)
+    formatted = F.concat_ws(
+        "-", F.substring(ten, 1, 3), F.substring(ten, 4, 3), F.substring(ten, 7, 4)
+    )
+    return F.when(F.length(ten) == 10, formatted).otherwise(c)
+
+
+def create_default_rules() -> list[RuleSpec]:
+    """The reference's default rule table (cleaning_rule.py:178-314), same
+    confidences, compiled to Column transforms."""
+    nullish_set = [*NULLISH]
+    return [
+        RuleSpec(
+            "null_standardization", 0.95,
+            lambda c: F.when(F.lower(ws_strip(c)).isin(*nullish_set), F.lit(None)).otherwise(c),
+            description="null-ish tokens → NULL (cleaning_rule.py:182-202)",
+        ),
+        RuleSpec(
+            "trim_whitespace", 0.99,
+            lambda c: ws_strip(F.regexp_replace(c, r"\s+", " ")),
+            description="collapse + strip whitespace (cleaning_rule.py:283-289)",
+        ),
+        RuleSpec(
+            "email_standardization", 0.9,
+            lambda c: F.when(c.contains("@"), F.lower(ws_strip(c))).otherwise(c),
+            column_patterns=(r"email", r"e.?mail",),
+            description="lower/trim emails (cleaning_rule.py:105-106)",
+        ),
+        RuleSpec(
+            "phone_standardization", 0.85,
+            _phone_standardize,
+            column_patterns=(r"phone", r"tel",),
+            description="XXX-XXX-XXXX (cleaning_rule.py:98-104)",
+        ),
+        RuleSpec(
+            "state_standardization", 0.9,
+            _map_lookup(STATE_MAP),
+            column_patterns=(r"state", r"province",),
+            description="state name → code (cleaning_rule.py:226-252)",
+        ),
+        RuleSpec(
+            "boolean_standardization", 0.95,
+            _map_lookup(BOOL_MAP),
+            column_patterns=(r"^is_", r"flag", r"active", r"enabled", r"bool"),
+            description="yes/no/1/0 → true/false (cleaning_rule.py:255-280)",
+        ),
+        RuleSpec(
+            "currency_standardization", 0.85,
+            lambda c: F.when(
+                c.rlike(r"^\s*\$?[0-9,]+(\.[0-9]+)?\s*$") & c.rlike(r"[$,]"),
+                F.regexp_replace(ws_strip(c), r"[$,]", ""),
+            ).otherwise(c),
+            column_patterns=(r"price", r"cost", r"amount", r"salary", r"income", r"fee"),
+            description="strip $ and , from numbers (cleaning_rule.py:292-300)",
+        ),
+        RuleSpec(
+            "date_standardization", 0.8,
+            lambda c: F.regexp_replace(
+                c, r"^(\d{1,2})/(\d{1,2})/(\d{4})$", "$3-$1-$2"
+            ),
+            column_patterns=(r"date", r"_at$", r"birth", r"created", r"updated"),
+            description="MM/DD/YYYY → YYYY-MM-DD (cleaning_rule.py:303-311)",
+        ),
+    ]
+
+
+@dataclass
+class AppliedRules:
+    cleaned: DataFrame
+    audit: DataFrame
+    rules: list[RuleSpec] = field(default_factory=list)
+
+
+def apply_rules(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rules: list[RuleSpec] | None = None,
+    confidence_threshold: float = 0.7,
+    key_cols: list[str] | None = None,
+) -> AppliedRules:
+    """Compile and apply the rule table to string columns — one projection,
+    no shuffle, no Python. Returns cleaned df + long-format audit."""
+    rules = rules if rules is not None else create_default_rules()
+    str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+    columns = [c for c in (columns or str_cols) if c in str_cols]
+    key_cols = key_cols or []
+
+    out = df
+    audit_structs: list[Column] = []
+    n = len(rules)
+    for col in columns:
+        c = F.col(col)
+        candidates = []
+        for i, rule in enumerate(rules):
+            if not rule.applies_to(col):
+                continue
+            newc = rule.transform(c)
+            changed = ~newc.eqNullSafe(c) & c.isNotNull()
+            candidates.append(
+                F.when(
+                    changed & (F.lit(rule.confidence) >= confidence_threshold),
+                    F.struct(
+                        F.lit(rule.confidence).alias("confidence"),
+                        F.lit(n - i).alias("priority"),  # first rule wins ties
+                        newc.cast("string").alias("value"),
+                        F.lit(rule.name).alias("rule"),
+                    ),
+                )
+            )
+        if not candidates:
+            continue
+        winner = F.array_max(F.filter(F.array(*candidates), lambda s: s.isNotNull()))
+        out = out.withColumn(f"__win_{col}", winner)
+        audit_structs.append(
+            F.when(
+                F.col(f"__win_{col}").isNotNull(),
+                F.struct(
+                    F.lit(col).alias("column"),
+                    F.col(f"__win_{col}.rule").alias("rule_fired"),
+                    F.col(f"__win_{col}.confidence").alias("confidence"),
+                    c.cast("string").alias("original"),
+                    F.col(f"__win_{col}.value").alias("cleaned"),
+                ),
+            )
+        )
+
+    audit = out.select(
+        *[F.col(k) for k in key_cols],
+        F.explode(
+            F.filter(F.array(*audit_structs), lambda s: s.isNotNull())
+        ).alias("fix"),
+    ).select(
+        *key_cols,
+        F.col("fix.column").alias("column"),
+        F.col("fix.rule_fired").alias("rule_fired"),
+        F.col("fix.confidence").alias("confidence"),
+        F.col("fix.original").alias("original"),
+        F.col("fix.cleaned").alias("cleaned"),
+    ) if audit_structs else out.sparkSession.createDataFrame(
+        [], "column string, rule_fired string, confidence double, original string, cleaned string"
+    )
+
+    for col in columns:
+        w = f"__win_{col}"
+        if w in out.columns:
+            out = out.withColumn(
+                col,
+                F.when(F.col(w).isNotNull(), F.col(f"{w}.value")).otherwise(F.col(col)),
+            ).drop(w)
+
+    return AppliedRules(cleaned=out, audit=audit, rules=rules)

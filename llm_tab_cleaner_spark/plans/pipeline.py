@@ -119,11 +119,12 @@ class CleanPipeline:
         row = result.agg(
             F.count("*").alias("total"),
             F.sum(F.col("keep").cast("long")).alias("kept"),
-            F.sum((F.size("scrub_rules") > 0).cast("long")).alias("scrubbed"),
+            F.sum(F.col("scrubbed").cast("long")).alias("scrubbed"),
             F.avg("confidence").alias("avg_conf"),
         ).collect()[0]
         rule_rows = (
             result.select(F.explode("rules_fired").alias("f"))
+            .filter(F.col("f").isNotNull())
             .groupBy(F.col("f.rule").alias("rule"))
             .count()
             .collect()

@@ -51,6 +51,9 @@ def build_session(
         # code files are big strings: keep Arrow batches modest so a batch of
         # ~2k files stays well under executor memory even with 100 KB files
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # split big text-heavy scans across tasks (default 128m under-splits
+        # a 150 MB single-file input into 1-2 tasks)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")

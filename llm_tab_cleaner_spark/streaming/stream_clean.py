@@ -1,0 +1,74 @@
+"""Streaming quality filter — the reference's StreamingCleaner / clean_stream
+(/root/reference/src/llm_tab_cleaner/streaming.py:107-242, spark.py:370-411)
+re-expressed as native Structured Streaming.
+
+The batch pipeline is stateless per row, so the exact same plan (native
+features → scorer UDF → rules → scrub) runs on a streaming DataFrame;
+micro-batching, checkpointing, backpressure and drain-on-stop are the
+engine's (trigger/processingTime, checkpointLocation, maxFilesPerTrigger,
+query.stop()) instead of the reference's asyncio queue loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from llm_tab_cleaner_spark.functions import thresholds as TH
+from llm_tab_cleaner_spark.operators.quality_filter import apply_quality_filter
+
+CODE_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def file_stream_source(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Parquet-directory stream source (S12 analog; swap for kafka in prod).
+    maxFilesPerTrigger is the backpressure bound (streaming.py:70's queue
+    bound, engine-side)."""
+    return (
+        spark.readStream.schema(CODE_FILES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def clean_stream(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_dir: str,
+    checkpoint_dir: str,
+    threshold: float = TH.CONF_THRESHOLD,
+    trigger_seconds: int | None = None,
+    queryName: str = "clean_stream",
+):
+    """Score a streaming code-files DataFrame and append keep/confidence +
+    scrubbed content to a parquet sink with exactly-once checkpointing
+    (ST1-ST3: spark.py:401-411's writeStream shape)."""
+    scored, _model = apply_quality_filter(
+        stream_df, spark, threshold=threshold, num_partitions=None
+    )
+    out = scored.select(
+        "repo", "path", "commit", "lang", "keep", "confidence",
+        "content_clean", "content_sha256", "clean_sha256", "partition_id",
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(queryName)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,91 @@
+"""Physical-plan guards — the 100 TB story in assertions (SURVEY.md §7 risks):
+zero per-row Python, pushdown reaches the scan, exactly one Arrow stage."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_arrow_stage_no_python_udfs(spark, code_files_small):
+    from llm_tab_cleaner_spark import CleanPipeline
+
+    cf, _ = code_files_small
+    result, _ = CleanPipeline(spark).run(spark.createDataFrame(cf.iloc[:50]))
+    result.collect()
+    plan = _plan(result)
+    # exactly one ArrowEvalPython (the scorer); no row-wise BatchEvalPython;
+    # no lambda HOFs (they de-codegen the whole projection)
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan
+    assert "lambdafunction" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
+    from llm_tab_cleaner_spark.fixtures.code_files import write_fixture
+
+    cf_path, _ = write_fixture(str(tmp_path / "fx"), 500)
+    df = spark.read.parquet(cf_path).filter(F.col("repo") == "repo_giant").select("repo", "path")
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*repo.*\]", plan), plan
+    # column pruning: content (the fat column) must NOT be in ReadSchema
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "content" not in m.group(1), m.group(0) if m else plan
+
+
+def test_whole_stage_codegen_covers_rules(spark, tmp_path):
+    """The native rule/feature exprs must be inside WholeStageCodegen spans.
+    (A createDataFrame local relation gets constant-folded to LocalTableScan,
+    so use a parquet scan — the real input shape.)"""
+    from llm_tab_cleaner_spark.fixtures.code_files import write_fixture
+    from llm_tab_cleaner_spark.functions import text_features as TF
+
+    cf_path, _ = write_fixture(str(tmp_path / "fx2"), 200)
+    out = spark.read.parquet(cf_path)
+    for name, expr in TF.feature_columns(F.col("content")).items():
+        out = out.withColumn(name, expr)
+    plan = _plan(out)
+    # codegen'd operators print with a "*(n)" stage marker; an interpreted
+    # Project (e.g. if a lambda HOF sneaks back in) prints bare
+    assert re.search(r"\*\(\d+\) Project", plan), plan[:1500]
+    assert "lambdafunction" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (no global sort)."""
+    from llm_tab_cleaner_spark.operators.profiler import topk_values
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = _plan(topk_values(df, "l_partkey", 10))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_join_for_small_dims(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["region_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_resume_is_not_cartesian(spark, code_files_small, tmp_path):
+    from pyspark.sql import functions as F2
+    from llm_tab_cleaner_spark.sources.state import StateStore
+
+    cf, _ = code_files_small
+    store = StateStore(str(tmp_path / "st"))
+    df = spark.createDataFrame(cf.iloc[:100]).withColumn(
+        "content_sha256", F2.sha2(F2.col("content"), 256)
+    )
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    pipe = CleanPipeline(spark, PipelineConfig(state_dir=str(tmp_path / "st")))
+    pipe.run_incremental(spark.createDataFrame(cf.iloc[:100]), "b1")
+    fresh = store.filter_new(df, spark)
+    plan = _plan(fresh)
+    assert "LeftAnti" in plan and "Cartesian" not in plan

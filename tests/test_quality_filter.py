@@ -63,7 +63,8 @@ def test_rule_attribution(scored_small):
     for cls, (rule, must_top) in expect.items():
         rows = merged[merged.label_class == cls]
         assert len(rows) > 0
-        for fired in rows.rules_fired:
+        for raw in rows.rules_fired:
+            fired = [s for s in raw if s is not None]  # null slots = unfired
             names = [s["rule"] for s in fired]
             assert rule in names, (cls, fired)
             if must_top:

@@ -1,0 +1,108 @@
+"""Rule compiler vs the reference's canonical messy fixture values
+(/root/reference/tests/conftest.py:125-180, FIXTURES.md §F2)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.operators.rules import apply_rules, create_default_rules
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    pdf = pd.DataFrame(
+        {
+            "customer_id": [1, 2, 3, 3, 4, 5],
+            "first_name": ["jane", " BOB ", "", None, "garcia", "ALICE"],
+            "email": [
+                " JANE.DOE@TEST.COM ", "bob@test", "charlie.test.com",
+                "dave@example.org", None, "ALICE@SAMPLE.NET",
+            ],
+            "phone": [
+                "(555) 123-4567", "555.987.6543", "5551234567",
+                "invalid", "1-555-222-3333", None,
+            ],
+            "birth_date": [
+                "1990-01-15", "12/25/1985", "Dec 3, 1988", "1992-13-45", None, "01/02/2000",
+            ],
+            "income": ["50000", "$75,000", "60k", "-1000", "confidential", "N/A"],
+            "state": ["California", "ca", "TX", "Unknown", None, "new york"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    res = apply_rules(df, key_cols=["customer_id"])
+    return res, res.cleaned.toPandas().sort_values("customer_id", kind="stable").reset_index(drop=True), pdf
+
+
+def test_state_standardization(messy):
+    _, out, _ = messy
+    assert list(out.state) == ["CA", "CA", "TX", None, None, "NY"]
+
+
+def test_email_standardization(messy):
+    _, out, _ = messy
+    # padded value: trim (0.99) outbids email (0.9) — single-winner semantics
+    # exactly like RuleSet.apply_rules (cleaning_rule.py:148-175)
+    assert out.email[0] == "JANE.DOE@TEST.COM"
+    assert out.email[5] == "alice@sample.net"  # no whitespace → email rule wins
+    assert out.email[2] == "charlie.test.com"  # no @ → untouched
+
+
+def test_phone_standardization(messy):
+    _, out, _ = messy
+    assert out.phone[0] == "555-123-4567"
+    assert out.phone[1] == "555-987-6543"
+    assert out.phone[2] == "555-123-4567"
+    assert out.phone[3] == "invalid"
+    assert out.phone[4] == "555-222-3333"  # 11-digit with leading 1
+
+
+def test_currency_and_null(messy):
+    _, out, _ = messy
+    assert out.income[1] == "75000"
+    assert out.income[2] == "60k"  # not a clean currency token
+    assert out.income[5] is None  # N/A → NULL at 0.95
+    assert out.first_name[2] == ""  # empty string is not in the null set? it trims to itself
+
+
+def test_date_standardization(messy):
+    _, out, _ = messy
+    assert out.birth_date[1] == "1985-12-25"
+    assert out.birth_date[5] == "2000-01-02"
+    assert out.birth_date[0] == "1990-01-15"  # already ISO → unchanged
+    assert out.birth_date[3] == "1992-13-45"  # not MM/DD/YYYY → untouched here
+
+
+def test_trim_whitespace_wins_ties(messy):
+    _, out, _ = messy
+    # ' BOB ' → trim rule (0.99) beats everything → 'BOB'
+    assert out.first_name[1] == "BOB"
+
+
+def test_audit_shape(messy):
+    res, out, pdf = messy
+    a = res.audit.toPandas()
+    assert set(a.columns) == {"customer_id", "column", "rule_fired", "confidence", "original", "cleaned"}
+    # every audit row records a real change
+    assert (a.original.fillna("§") != a.cleaned.fillna("§")).all()
+    # the state fixes are attributed to the right rule
+    st = a[a.column == "state"]
+    assert set(st.rule_fired) <= {"state_standardization", "null_standardization"}
+
+
+def test_confidence_gate_blocks_low_rules(spark):
+    pdf = pd.DataFrame({"birth_date": ["12/25/1985"]})
+    res = apply_rules(spark.createDataFrame(pdf), confidence_threshold=0.9)
+    out = res.cleaned.toPandas()
+    assert out.birth_date[0] == "12/25/1985"  # date rule (0.8) gated off
+
+
+def test_default_rules_cover_reference_set():
+    names = {r.name for r in create_default_rules()}
+    assert {
+        "null_standardization", "trim_whitespace", "email_standardization",
+        "phone_standardization", "state_standardization",
+        "boolean_standardization", "currency_standardization",
+        "date_standardization",
+    } <= names

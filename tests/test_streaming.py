@@ -1,0 +1,64 @@
+"""Streaming clean stage: file-source micro-batches → parquet sink with
+checkpoint; decisions identical to the batch pipeline."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+
+def test_stream_matches_batch(spark, code_files_small, tmp_path):
+    from llm_tab_cleaner_spark import CleanPipeline
+    from llm_tab_cleaner_spark.streaming.stream_clean import clean_stream, file_stream_source
+
+    cf, _ = code_files_small
+    cf = cf.iloc[:400]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two input files → at least two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(cf.iloc[:200]).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(cf.iloc[200:]).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out")
+    q = clean_stream(
+        file_stream_source(spark, src, max_files_per_trigger=1),
+        spark,
+        output_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 400
+
+    batch, _ = CleanPipeline(spark).run(spark.createDataFrame(cf))
+    want = batch.select("repo", "path", "commit", "keep", "confidence", "clean_sha256").toPandas()
+    j = want.merge(got, on=["repo", "path", "commit"], suffixes=("_b", "_s"), validate="1:1")
+    assert (j.keep_b == j.keep_s).all()
+    assert (j.confidence_b == j.confidence_s).all()
+    assert (j.clean_sha256_b == j.clean_sha256_s).all()
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, code_files_small, tmp_path):
+    from llm_tab_cleaner_spark.streaming.stream_clean import clean_stream, file_stream_source
+
+    cf, _ = code_files_small
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    spark.createDataFrame(cf.iloc[:150]).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    q1 = clean_stream(file_stream_source(spark, src), spark, out_dir, ckpt, queryName="s1")
+    q1.awaitTermination(300)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 150
+
+    # new data lands; restart the query against the SAME checkpoint
+    spark.createDataFrame(cf.iloc[150:300]).coalesce(1).write.mode("append").parquet(src)
+    q2 = clean_stream(file_stream_source(spark, src), spark, out_dir, ckpt, queryName="s2")
+    q2.awaitTermination(300)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 300  # old batch NOT reprocessed (exactly-once resume)
+    assert got.commit.nunique() == 300
