@@ -1,0 +1,69 @@
+"""IO helpers — the reference's load_file/save_file/save_report surface
+(/root/reference/src/llm_tab_cleaner/cli.py:27-101) on Spark readers/writers
+(SURVEY.md §2.1 S1-S8). Excel (S3) is intentionally out of scope — Spark has
+no native xlsx source; convert upstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, is_dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_FORMATS = {"csv", "parquet", "json"}
+
+
+def _infer_format(path: str) -> str:
+    ext = os.path.splitext(path.rstrip("/"))[1].lstrip(".").lower()
+    if ext in ("pq", "parquet"):
+        return "parquet"
+    if ext in ("jsonl", "json", "ndjson"):
+        return "json"
+    if ext in ("csv", "tsv"):
+        return "csv"
+    return "parquet"
+
+
+def load_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Extension-dispatched scan (cli.py:27-47). Always prefer an explicit
+    schema — inference is a full extra pass at scale."""
+    fmt = fmt or _infer_format(path)
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (supported: {sorted(_FORMATS)})")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        if schema is None:
+            options.setdefault("inferSchema", True)
+    return reader.options(**options).format(fmt).load(path)
+
+
+def save_table(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite", **options) -> None:
+    """Extension-dispatched sink (cli.py:50-70 / spark.py:154-156)."""
+    fmt = fmt or _infer_format(path)
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}")
+    writer = df.write.mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.format(fmt).save(path)
+
+
+def save_report(report, path: str) -> None:
+    """Driver-side JSON report sink (cli.py:73-101)."""
+    payload = asdict(report) if is_dataclass(report) else dict(report)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, indent=2, default=str)
+    os.replace(tmp, path)
