@@ -1,0 +1,96 @@
+"""spark-submit entry point for the quality-filter pipeline (north_rule:
+"runs via spark-submit --py-files with zero per-row Python").
+
+Usage (local smoke):
+    python jobs/package.py                      # builds dist/llm_tab_cleaner_spark.zip
+    spark-submit --master local[8] \
+      --py-files dist/llm_tab_cleaner_spark.zip \
+      jobs/run_quality_filter.py \
+      --input /path/code_files.parquet --output /path/out \
+      --audit /path/audit --state /path/state --metrics /path/metrics
+
+On a cluster, --master/--num-executors/memory come from spark-submit; the
+job only sets semantic configs. Incremental by default when --state is given
+(anti-join resume + atomic manifest commit).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="language-ID + quality-filter + PII-scrub over code files")
+    p.add_argument("--input", required=True, help="parquet path with (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True, help="cleaned parquet sink (kept rows, scrubbed)")
+    p.add_argument("--audit", default=None, help="audit-trail parquet sink")
+    p.add_argument("--state", default=None, help="state dir → incremental resume")
+    p.add_argument("--metrics", default=None, help="per-partition lineage metrics sink")
+    p.add_argument("--report", default=None, help="driver JSON report path")
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--salt-buckets", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+    from llm_tab_cleaner_spark.functions import thresholds as TH
+    from llm_tab_cleaner_spark.sources.io import save_report
+
+    spark = SparkSession.builder.appName("quality_filter").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    cfg = PipelineConfig(
+        confidence_threshold=args.threshold if args.threshold is not None else TH.CONF_THRESHOLD,
+        num_partitions=args.partitions or spark.sparkContext.defaultParallelism * 2,
+        salt_buckets=args.salt_buckets,
+        state_dir=args.state,
+    )
+    pipe = CleanPipeline(spark, cfg)
+    df = spark.read.parquet(args.input)
+
+    if args.state:
+        result, audit, batch_id = pipe.run_incremental(df)
+    else:
+        result, audit = pipe.run(df)
+        result.persist()
+        batch_id = None
+
+    (
+        result.filter(F.col("keep"))
+        .select(
+            "repo", "path", "commit", "lang",
+            F.col("content_clean").alias("content"),
+            "content_sha256", "clean_sha256", "confidence",
+        )
+        .write.mode("append" if args.state else "overwrite")
+        .parquet(args.output)
+    )
+    if args.audit:
+        audit.write.mode("append" if args.state else "overwrite").parquet(args.audit)
+    if args.metrics:
+        pipe.partition_metrics(result).write.mode(
+            "append" if args.state else "overwrite"
+        ).parquet(args.metrics)
+
+    report = pipe.report(result)
+    if args.report:
+        save_report(report, args.report)
+    print(json.dumps({
+        "batch_id": batch_id,
+        "total": report.total_files,
+        "kept": report.kept,
+        "dropped": report.dropped,
+        "scrubbed": report.scrubbed,
+        "avg_confidence": round(report.avg_confidence, 4),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

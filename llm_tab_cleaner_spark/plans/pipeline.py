@@ -114,6 +114,24 @@ class CleanPipeline:
         result.unpersist()
         return report
 
+    def partition_metrics(self, result: DataFrame) -> DataFrame:
+        """Per-partition lineage metrics (north_rule): files, kept, dropped,
+        scrubbed, bytes in/out per physical partition — written next to the
+        audit table so every output row is traceable to the task that
+        produced it."""
+        return (
+            result.groupBy("partition_id")
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+                F.sum(F.col("scrubbed").cast("long")).alias("scrubbed"),
+                F.sum(F.length("content")).alias("bytes_in"),
+                F.sum(F.length("content_clean")).alias("bytes_out"),
+                F.round(F.avg("confidence"), 4).alias("avg_confidence"),
+            )
+        )
+
     # ---- aggregation (one distributed pass) ----
     def report(self, result: DataFrame) -> CleaningReport:
         row = result.agg(
