@@ -387,6 +387,15 @@ def _q_quality_filter_docs(spark, sf):
     )
 
 
+def _q_embedding_near_dup(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", min_cosine=0.8).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "cosine",
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2).select(
@@ -423,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn_brute,
+        "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -633,6 +643,17 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.8
         """,
         "ngram_jaccard": f"""
             WITH g AS (

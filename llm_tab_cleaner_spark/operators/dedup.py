@@ -229,6 +229,41 @@ def simhash_near_dup_pairs(sim_df: DataFrame, id_col: str, max_hamming: int = 3)
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. With ``n_planes`` > 0, candidates are
+    restricted to vectors sharing a random-hyperplane LSH bucket (the scale
+    path: the self-join shuffles bucket keys + ids, never all N² pairs);
+    with 0, exact brute force (the oracle-comparable baseline)."""
+    from llm_tab_cleaner_spark.operators.similarity import cosine_expr, hyperplane_buckets
+
+    if n_planes > 0:
+        dim = len(df.select(vec_col).head()[0])
+        b = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed)
+        a = b.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        c = b.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        joined = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        c = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        joined = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")), 4
+    )
+    return (
+        joined.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, content_col: str, n: int = 3, min_jaccard: float = 0.8
 ) -> DataFrame:
