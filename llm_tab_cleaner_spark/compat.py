@@ -1,0 +1,96 @@
+"""Reference-compatible facade: the surfaces a llm-tab-cleaner user calls.
+
+``TableCleaner(...).clean(df)`` (/root/reference/src/llm_tab_cleaner/
+core.py:193-296) and ``SparkCleaner(...).clean_distributed(df, output_path)``
+(spark.py:40-156) re-expressed on this engine. A user of the reference can
+switch imports and keep their call sites:
+
+    from llm_tab_cleaner_spark.compat import TableCleaner
+    cleaner = TableCleaner(confidence_threshold=0.85)
+    cleaned_df, report = cleaner.clean(spark_df)
+
+Differences (deliberate): no LLM providers — the deterministic rule table +
+scorer replace `llm_provider`; `clean` takes/returns Spark DataFrames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.operators.rules import RuleSpec, apply_rules, create_default_rules
+from llm_tab_cleaner_spark.plans.pipeline import CleaningReport
+
+
+@dataclass
+class TableCleaner:
+    """Tabular cleaning (rule path) with confidence gating + report.
+
+    Mirrors core.py:193-272's constructor surface where it still makes
+    sense: `confidence_threshold` (the gate), `rules` (custom RuleSpec list),
+    `columns` (restrict cleaning, P1 projection).
+    """
+
+    confidence_threshold: float = 0.85
+    rules: list[RuleSpec] | None = None
+    columns: list[str] | None = None
+
+    def clean(self, df: DataFrame, key_cols: list[str] | None = None) -> tuple[DataFrame, CleaningReport]:
+        """→ (cleaned_df, report) — the reference's core contract
+        (core.py:274-296), computed distributed in one pass."""
+        import time
+
+        t0 = time.time()
+        res = apply_rules(
+            df,
+            columns=self.columns,
+            rules=self.rules if self.rules is not None else create_default_rules(),
+            confidence_threshold=self.confidence_threshold,
+            key_cols=key_cols or [],
+        )
+        stats = res.audit.agg(
+            F.count(F.lit(1)).alias("fixes"),
+            F.avg("confidence").alias("avg_conf"),
+        ).collect()[0]
+        total = df.count()
+        n_fixes = int(stats["fixes"] or 0)
+        avg_conf = float(stats["avg_conf"] or 0.0)
+        # quality heuristic mirrors core.py:589-612
+        fix_ratio = n_fixes / max(total, 1)
+        quality = min(1.0, 0.8 + fix_ratio * 0.1 + avg_conf * 0.1)
+        rule_rows = res.audit.groupBy("rule_fired").count().collect()
+        report = CleaningReport(
+            total_files=total,
+            kept=total,
+            dropped=0,
+            scrubbed=0,
+            avg_confidence=avg_conf,
+            quality_score=quality,
+            rule_counts={r["rule_fired"]: r["count"] for r in rule_rows},
+            processing_time=time.time() - t0,
+        )
+        return res.cleaned, report
+
+
+@dataclass
+class SparkCleaner:
+    """Distributed file-cleaning surface (spark.py:40-156): the quality-filter
+    pipeline behind the reference's clean_distributed signature."""
+
+    confidence_threshold: float = 0.8
+    parallelism: int | None = None
+    config: dict = field(default_factory=dict)
+
+    def clean_distributed(
+        self, df: DataFrame, output_path: str, audit_log: str | None = None
+    ) -> CleaningReport:
+        from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline, PipelineConfig
+
+        spark = df.sparkSession
+        cfg = PipelineConfig(
+            confidence_threshold=self.confidence_threshold,
+            num_partitions=self.parallelism,
+        )
+        return CleanPipeline(spark, cfg).run_and_write(df, output_path, audit_log)

@@ -9,6 +9,8 @@ and anomaly passes are two-stage: tiny stats aggregate → broadcast filter.
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,6 +96,114 @@ def fk_containment(df: DataFrame, child_col: str, parent_df: DataFrame, parent_c
     parent = parent_df.select(F.col(parent_col).alias("v")).distinct()
     return child.join(parent, "v", "left_anti").agg(
         F.count(F.lit(1)).alias("missing_count")
+    )
+
+
+@dataclass
+class ColumnProfile:
+    """Reference ColumnProfile (profiler.py:16-54), distributed-computed."""
+
+    name: str
+    data_type: str
+    null_count: int
+    null_percentage: float
+    unique_count: int
+    unique_percentage: float
+    mean: float | None = None
+    std: float | None = None
+    min_value: object = None
+    max_value: object = None
+    quality_score: float = 1.0
+    issues: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TableProfile:
+    """Reference TableProfile (profiler.py:57-76)."""
+
+    row_count: int
+    column_count: int
+    columns: dict[str, ColumnProfile]
+    duplicate_rows: int
+    duplicate_percentage: float
+    overall_quality_score: float
+    total_issues: int
+
+
+_NUMERIC = {"int", "bigint", "double", "float", "decimal", "smallint", "tinyint"}
+
+
+def profile_table(df: DataFrame, approx_distinct: bool = False) -> TableProfile:
+    """The reference's DataProfiler.profile_table (profiler.py:90-132) in
+    exactly TWO jobs: one wide agg pass over every column (nulls, distinct,
+    numeric stats, min/max) + one duplicate-row count. The reference runs
+    one pandas pass per column; at 100 TB set approx_distinct=True to swap
+    exact count_distinct for HLL sketches (single-digit % error, no extra
+    shuffle pressure)."""
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        base = f.dataType.simpleString().split("(")[0]
+        d = (
+            F.approx_count_distinct(c) if approx_distinct else F.count_distinct(c)
+        ).alias(f"{f.name}__distinct")
+        aggs += [F.sum(c.isNull().cast("long")).alias(f"{f.name}__nulls"), d]
+        if base in _NUMERIC:
+            aggs += [
+                F.avg(c).alias(f"{f.name}__mean"),
+                F.stddev_samp(c).alias(f"{f.name}__std"),
+                F.min(c).alias(f"{f.name}__min"),
+                F.max(c).alias(f"{f.name}__max"),
+            ]
+        else:
+            aggs += [F.min(c).alias(f"{f.name}__min"), F.max(c).alias(f"{f.name}__max")]
+    row = df.agg(*aggs).collect()[0]
+    n = int(row["__n"] or 0)
+    dup = int(
+        duplicate_row_count(df, [f.name for f in fields]).collect()[0]["dup_count"] or 0
+    ) if n else 0
+
+    cols: dict[str, ColumnProfile] = {}
+    total_issues = 0
+    for f in fields:
+        base = f.dataType.simpleString().split("(")[0]
+        nulls = int(row[f"{f.name}__nulls"] or 0)
+        uniq = int(row[f"{f.name}__distinct"] or 0)
+        null_pct = nulls / n * 100 if n else 0.0
+        issues = []
+        if null_pct > 50:
+            issues.append("high_null_percentage")
+        if n and uniq == 1:
+            issues.append("constant_column")
+        # quality heuristic mirrors profiler.py:447-462's weighted deductions
+        quality = max(0.0, min(1.0, 1.0 - 0.5 * (null_pct / 100) - 0.1 * len(issues)))
+        cols[f.name] = ColumnProfile(
+            name=f.name,
+            data_type=base,
+            null_count=nulls,
+            null_percentage=round(null_pct, 4),
+            unique_count=uniq,
+            unique_percentage=round(uniq / n * 100, 4) if n else 0.0,
+            mean=float(row[f"{f.name}__mean"]) if base in _NUMERIC and row[f"{f.name}__mean"] is not None else None,
+            std=float(row[f"{f.name}__std"]) if base in _NUMERIC and row[f"{f.name}__std"] is not None else None,
+            min_value=row[f"{f.name}__min"],
+            max_value=row[f"{f.name}__max"],
+            quality_score=round(quality, 4),
+            issues=issues,
+        )
+        total_issues += len(issues)
+    overall = (
+        round(sum(c.quality_score for c in cols.values()) / len(cols), 4) if cols else 0.0
+    )
+    return TableProfile(
+        row_count=n,
+        column_count=len(fields),
+        columns=cols,
+        duplicate_rows=dup,
+        duplicate_percentage=round(dup / n * 100, 4) if n else 0.0,
+        overall_quality_score=overall,
+        total_issues=total_issues,
     )
 
 

@@ -1,0 +1,69 @@
+"""Versioned output store — the reference's backup/restore
+(/root/reference/src/llm_tab_cleaner/backup.py:41-544, core.py:308-313,
+398-411) replaced by Iceberg-style time-travel on plain parquet.
+
+Each write lands under ``<root>/v<k>/`` and a ``_versions.json`` manifest is
+atomically flipped to publish it; ``read()`` without arguments serves the
+latest published version, ``read(version=k)`` time-travels, ``rollback(k)``
+re-points HEAD without copying data. With a real Iceberg catalog this whole
+class is `VERSION AS OF` — the contract is identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest = os.path.join(root, "_versions.json")
+
+    def _read_manifest(self) -> dict:
+        if not os.path.exists(self._manifest):
+            return {"head": None, "versions": []}
+        with open(self._manifest) as fh:
+            return json.load(fh)
+
+    def _flip(self, m: dict) -> None:
+        tmp = self._manifest + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, self._manifest)
+
+    def versions(self) -> list[int]:
+        return self._read_manifest()["versions"]
+
+    def head(self) -> int | None:
+        return self._read_manifest()["head"]
+
+    def write(self, df: DataFrame) -> int:
+        """Write a NEW version; publish only after the data is durable
+        (snapshot-commit discipline, crash-safe)."""
+        m = self._read_manifest()
+        v = (max(m["versions"]) + 1) if m["versions"] else 0
+        df.write.mode("overwrite").parquet(os.path.join(self.root, f"v{v}"))
+        m["versions"].append(v)
+        m["head"] = v
+        self._flip(m)
+        return v
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        m = self._read_manifest()
+        v = m["head"] if version is None else version
+        if v is None or v not in m["versions"]:
+            raise ValueError(f"no such version {version!r} (have {m['versions']})")
+        return spark.read.parquet(os.path.join(self.root, f"v{v}"))
+
+    def rollback(self, version: int) -> None:
+        """Restore-on-failure (core.py:398-411): re-point HEAD, zero copy."""
+        m = self._read_manifest()
+        if version not in m["versions"]:
+            raise ValueError(f"no such version {version}")
+        m["head"] = version
+        self._flip(m)
