@@ -173,6 +173,26 @@ def _q_event_bins(spark, sf):
     )
 
 
+def _q_event_windows(spark, sf):
+    """5-minute tumbling-window event aggregation (the batch shape of the
+    streaming windowed agg; Structured Streaming variant in streaming/)."""
+    ev = _t(spark, sf, "events")
+    win = F.window(F.col("ts"), "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "cnt", "sum_value",
+        )
+    )
+
+
 def _q_corr_price_qty(spark, sf):
     li = _t(spark, sf, "lineitem")
     return profiler.correlation(li, "l_extendedprice", "l_quantity")
@@ -416,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs_count": _q_dup_pairs_count,
         "price_outliers": _q_price_outliers,
         "event_bins": _q_event_bins,
+        "event_windows": _q_event_windows,
         "corr_price_qty": _q_corr_price_qty,
         "profile_orders": _q_profile_orders,
         "topk_parts": _q_topk_parts,
@@ -545,6 +566,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS cnt,
                    round(avg(value), 4) AS avg_value
             FROM events GROUP BY 1
+        """,
+        "event_windows": """
+            SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, count(*) AS cnt,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "corr_price_qty": """
             SELECT round(corr(l_extendedprice, l_quantity), 4) AS corr_value FROM lineitem

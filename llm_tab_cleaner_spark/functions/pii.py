@@ -71,6 +71,13 @@ def scrub_python(text: str) -> str:
     return out
 
 
+def tokenize_expr(col: Column, prefix: str = "TOKEN_") -> Column:
+    """Deterministic tokenization (advanced_security.py:171-221): value →
+    TOKEN_<sha256[:16]>. Reversal is a broadcast lookup against the token
+    table the caller persists."""
+    return F.concat(F.lit(prefix), F.substring(F.sha2(col, 256), 1, 16))
+
+
 def scrub_sql(col_name: str) -> str:
     """DuckDB-SQL mirror (RE2 dialect) for oracle queries."""
     expr = col_name

@@ -1,0 +1,59 @@
+"""Event-time windowed aggregation with watermark on a real stream (ST6 —
+beyond the reference, which has no stateful streaming) + tokenization T19."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "ev")
+    ev.coalesce(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # watermark needs TIMESTAMP, parquet gives NTZ
+    )
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT w.start AS ws, event_type, cnt FROM win_out").toPandas()
+
+    # batch ground truth (closed windows only — append mode holds back the tail)
+    want = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        .toPandas()
+    )
+    j = got.merge(want, on=["ws", "event_type"], suffixes=("_s", "_b"))
+    assert len(j) == len(got) and (j.cnt_s == j.cnt_b).all()
+    assert len(got) > 0
+
+
+def test_tokenize_expr(spark):
+    from llm_tab_cleaner_spark.functions.pii import tokenize_expr
+
+    pdf = pd.DataFrame({"v": ["alice", "bob", "alice"]})
+    out = (
+        spark.createDataFrame(pdf)
+        .select("v", tokenize_expr(F.col("v")).alias("tok"))
+        .toPandas()
+    )
+    assert out.tok.str.match(r"TOKEN_[0-9a-f]{16}").all()
+    assert out.tok[0] == out.tok[2] != out.tok[1]  # deterministic + distinct
