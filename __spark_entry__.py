@@ -318,7 +318,8 @@ def _q_native_rules_docs(spark, sf):
     )
     rep = F.when(
         (TF.unique_token_ratio(c) < TH.UNIQUE_TOKEN_RATIO_MIN)
-        & (TF.n_tokens(c) >= TH.REPETITION_MIN_TOKENS),
+        & (TF.n_tokens(c) >= TH.REPETITION_MIN_TOKENS)
+        & (TF.n_distinct_tokens(c) < TH.REPETITION_MAX_DISTINCT),
         F.lit(TH.CONF_REPETITION),
     )
     short = F.when(
@@ -496,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
     uniq_ratio = f"(CASE WHEN len({_TOKS}) > 0 THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) ELSE 1.0 END)"
     rep_conf = (
         f"CASE WHEN {uniq_ratio} < {TH.UNIQUE_TOKEN_RATIO_MIN} AND len({_TOKS}) >= {TH.REPETITION_MIN_TOKENS} "
+        f"AND len(list_distinct({_TOKS})) < {TH.REPETITION_MAX_DISTINCT} "
         f"THEN {TH.CONF_REPETITION} ELSE 0.0 END"
     )
     drop_conf = f"greatest({nullish_conf}, {minified_conf}, {low_alnum_conf}, {rep_conf}, {short_conf})"

@@ -53,6 +53,12 @@ def n_tokens(col: Column) -> Column:
     return F.when(F.length(ws_strip(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
 
 
+def n_distinct_tokens(col: Column) -> Column:
+    return F.when(F.length(ws_strip(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.array_distinct(tokens(col)))
+    )
+
+
 def unique_token_ratio(col: Column) -> Column:
     """distinct tokens / tokens — low values mean pathological repetition
     (reference analog: multimodal_cleaning.py:169-172)."""
@@ -140,6 +146,7 @@ def feature_columns(content: Column) -> dict[str, Column]:
         "n_lines": n_lines(content).alias("n_lines"),
         "has_long_line": has_long_line(content).alias("has_long_line"),
         "n_tokens": n_tokens(content).alias("n_tokens"),
+        "n_distinct_tokens": n_distinct_tokens(content).alias("n_distinct_tokens"),
         "unique_token_ratio": unique_token_ratio(content).alias("unique_token_ratio"),
         "alnum_ratio": alnum_ratio(content).alias("alnum_ratio"),
         "is_nullish": is_nullish(content).alias("is_nullish"),

@@ -49,7 +49,10 @@ def drop_rule_confidences(model: ScoringModel) -> dict[str, Column]:
     c["autogen_boilerplate"] = F.when(F.col("is_autogen"), F.lit(TH.CONF_AUTOGEN))
     c["excessive_repetition"] = F.when(
         (F.col("unique_token_ratio") < TH.UNIQUE_TOKEN_RATIO_MIN)
-        & (F.col("n_tokens") >= TH.REPETITION_MIN_TOKENS),
+        & (F.col("n_tokens") >= TH.REPETITION_MIN_TOKENS)
+        # Heaps'-law guard: a low ratio with a REAL vocabulary is just a big
+        # file; pathological repetition cycles a tiny token set
+        & (F.col("n_distinct_tokens") < TH.REPETITION_MAX_DISTINCT),
         F.lit(TH.CONF_REPETITION),
     )
     # graded confidence: crosses the gate at exactly 10 tokens (borderline class)
@@ -90,6 +93,7 @@ def apply_quality_filter(
     threshold: float = TH.CONF_THRESHOLD,
     num_partitions: int | None = None,
     salt_buckets: int = 16,
+    score_prefix_chars: int = 65536,
 ) -> tuple[DataFrame, ScoringModel]:
     """Score every file; returns a DataFrame with decision + audit columns.
 
@@ -109,8 +113,18 @@ def apply_quality_filter(
     for name, expr in TF.feature_columns(F.col("content")).items():
         out = out.withColumn(name, expr)
 
-    # the ONE pandas UDF (langid + perplexity), Arrow-batched
-    out, model = with_scores(out, "content", spark, model)
+    # the ONE pandas UDF (langid + perplexity), Arrow-batched. Statistical
+    # scores stabilize within the first tens of KB, so score a bounded
+    # prefix — at 100 TB this caps Arrow transfer + UDF work per megabyte
+    # file while rules/scrub/sha still see full content. 0 disables.
+    if score_prefix_chars:
+        out = out.withColumn(
+            "_score_text", F.substring(F.col("content"), 1, score_prefix_chars)
+        )
+        out, model = with_scores(out, "_score_text", spark, model)
+        out = out.drop("_score_text")
+    else:
+        out, model = with_scores(out, "content", spark, model)
 
     # rule when-chains → fired array + max-confidence-wins drop confidence.
     # The array keeps null slots for unfired rules: CreateArray is codegen-

@@ -28,6 +28,7 @@ class PipelineConfig:
     num_partitions: int | None = None  # None → let AQE decide (no extra shuffle)
     salt_buckets: int = 16
     state_dir: str | None = None  # enables incremental resume when set
+    score_prefix_chars: int = 65536  # scorer UDF sees at most this prefix; 0 = full
 
 
 @dataclass
@@ -64,6 +65,7 @@ class CleanPipeline:
             threshold=self.config.confidence_threshold,
             num_partitions=self.config.num_partitions,
             salt_buckets=self.config.salt_buckets,
+            score_prefix_chars=self.config.score_prefix_chars,
         )
         return result
 

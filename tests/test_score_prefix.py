@@ -1,0 +1,56 @@
+"""Scoring-prefix cap: huge files are scored on a bounded prefix while the
+rules/scrub/sha paths still see full content."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_huge_file_scored_on_prefix_but_scrubbed_fully(spark):
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    # realistic varied body: many template instantiations (low perplexity,
+    # healthy token diversity), ~300 KB total
+    from llm_tab_cleaner_spark.functions.corpus import IDENTIFIERS, PY_TEMPLATES, fill_template
+
+    parts = [
+        f"# section {i}: handler_{i} for stage_{i}\n"
+        + fill_template(PY_TEMPLATES[i % len(PY_TEMPLATES)],
+                        [IDENTIFIERS[(i + k) % len(IDENTIFIERS)] for k in range(4)])
+        for i in range(300)
+    ]
+    tail_pii = "\n# contact: deep@tail.com at 10.9.8.7\n"
+    huge = "\n".join(parts) + tail_pii  # PII beyond any reasonable scoring prefix
+    assert len(huge) > 200_000
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"], "path": ["big.py"], "commit": ["c" * 40],
+            "lang": ["python"], "content": [huge],
+        }
+    )
+    cfg = PipelineConfig(score_prefix_chars=4096)
+    result, _ = CleanPipeline(spark, cfg).run(spark.createDataFrame(pdf))
+    row = result.select("keep", "lang_pred", "content_clean", "clean_sha256").collect()[0]
+    assert row["keep"] and row["lang_pred"] == "python"
+    # scrub operated on the FULL text, beyond the scoring prefix
+    assert "<EMAIL>" in row["content_clean"] and "<IP_ADDRESS>" in row["content_clean"]
+    assert "deep@tail.com" not in row["content_clean"]
+    expected = huge.replace("deep@tail.com", "<EMAIL>").replace("10.9.8.7", "<IP_ADDRESS>")
+    assert row["clean_sha256"] == hashlib.sha256(expected.encode()).hexdigest()
+
+
+def test_prefix_does_not_change_fixture_decisions(spark, code_files_small):
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    cf, _ = code_files_small
+    df = spark.createDataFrame(cf.iloc[:300])
+    full, _ = CleanPipeline(spark, PipelineConfig(score_prefix_chars=0)).run(df)
+    pref, _ = CleanPipeline(spark, PipelineConfig(score_prefix_chars=65536)).run(df)
+    a = full.select("commit", "keep", "confidence").toPandas()
+    b = pref.select("commit", "keep", "confidence").toPandas()
+    j = a.merge(b, on="commit", suffixes=("_f", "_p"))
+    assert (j.keep_f == j.keep_p).all()
+    assert (j.confidence_f == j.confidence_p).all()
