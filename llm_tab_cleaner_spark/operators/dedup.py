@@ -272,12 +272,17 @@ def ngram_jaccard_pairs(
     Fully native: n-grams via sequence+transform, |A∩B| via groupBy pair,
     |A∪B| = |A|+|B|−|A∩B|."""
     toks = F.filter(F.split(F.trim(F.col(content_col)), r"\s+"), lambda t: F.length(t) > 0)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    # guard: sequence(1, size-(n-1)) yields the DESCENDING [1, 0] when
+    # size < n, and slice(toks, 0, n) throws — short docs must produce []
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )

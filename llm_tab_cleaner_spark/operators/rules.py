@@ -73,16 +73,22 @@ BOOL_MAP = {
 
 
 def _phone_standardize(c: Column) -> Column:
-    """standardize_phone (cleaning_rule.py:98-104): digits-only, 10 → XXX-XXX-XXXX,
-    11-with-leading-1 → same after dropping the 1, else unchanged."""
+    """standardize_phone (cleaning_rule.py:100-107): digits-only,
+    10 → XXX-XXX-XXXX, 11-with-leading-1 → 1-XXX-XXX-XXXX (the reference keeps
+    the country-code prefix), else unchanged."""
     digits = F.regexp_replace(c, r"[^0-9]", "")
-    ten = F.when(
-        (F.length(digits) == 11) & digits.startswith("1"), F.substring(digits, 2, 10)
-    ).otherwise(digits)
-    formatted = F.concat_ws(
-        "-", F.substring(ten, 1, 3), F.substring(ten, 4, 3), F.substring(ten, 7, 4)
+    fmt10 = F.concat_ws(
+        "-", F.substring(digits, 1, 3), F.substring(digits, 4, 3), F.substring(digits, 7, 4)
     )
-    return F.when(F.length(ten) == 10, formatted).otherwise(c)
+    rest = F.substring(digits, 2, 10)
+    fmt11 = F.concat_ws(
+        "-", F.lit("1"), F.substring(rest, 1, 3), F.substring(rest, 4, 3), F.substring(rest, 7, 4)
+    )
+    return (
+        F.when(F.length(digits) == 10, fmt10)
+        .when((F.length(digits) == 11) & digits.startswith("1"), fmt11)
+        .otherwise(c)
+    )
 
 
 def create_default_rules() -> list[RuleSpec]:
@@ -97,8 +103,10 @@ def create_default_rules() -> list[RuleSpec]:
         ),
         RuleSpec(
             "trim_whitespace", 0.99,
-            lambda c: ws_strip(F.regexp_replace(c, r"\s+", " ")),
-            description="collapse + strip whitespace (cleaning_rule.py:283-289)",
+            ws_strip,
+            description="strip leading/trailing whitespace only, matching the "
+            "reference's strip_whitespace (cleaning_rule.py:283-289, 93-94 — "
+            "internal whitespace is NOT collapsed)",
         ),
         RuleSpec(
             "email_standardization", 0.9,

@@ -54,11 +54,15 @@ def language_guess(col: Column) -> Column:
 
 
 def char_ngrams(col: Column, n: int = 5) -> Column:
-    """Array of character n-grams — native substring windows."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (n - 1), F.lit(0))),
-        lambda i: F.substring(col, i, n),
-    )
+    """Array of character n-grams — native substring windows. Strings shorter
+    than n yield [] (sequence(1, x<1) would count DOWN and emit bogus grams)."""
+    return F.when(
+        F.length(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col) - (n - 1)),
+            lambda i: F.substring(col, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_hash_fingerprints(col: Column, n: int = 8, keep_mod: int = 16) -> Column:

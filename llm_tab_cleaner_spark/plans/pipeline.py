@@ -80,6 +80,11 @@ class CleanPipeline:
         Exact-resume contract (incremental.py:46-85): a batch is visible only
         after its manifest flip, so a crash mid-run reprocesses that batch and
         nothing else; output for already-committed rows is never recomputed.
+
+        The returned ``result`` is persisted (it was materialized to make the
+        state commit match the output exactly) — the CALLER owns the cache and
+        must ``result.unpersist()`` once the batch's output/audit are written,
+        or cached partitions accumulate across incremental batches.
         """
         if self.state is None:
             raise ValueError("PipelineConfig.state_dir required for incremental runs")

@@ -68,3 +68,29 @@ def test_ngram_jaccard(docs):
     assert (100, 101) in found
     j = out[(out.id_a == 100) & (out.id_b == 101)].jaccard.iloc[0]
     assert j == 1.0
+
+
+def test_ngram_jaccard_short_docs_dont_crash(spark):
+    # docs with fewer than n tokens used to hit sequence(1, 0) → [1, 0] →
+    # slice(toks, 0, 3) → SparkRuntimeException; they must just yield no grams
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["one two", "x", "", "a b c a b c"]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, min_jaccard=0.1).toPandas()
+    assert set(map(tuple, out[["id_a", "id_b"]].values)) == set()
+
+
+def test_char_ngrams_short_strings_empty(spark):
+    from llm_tab_cleaner_spark.operators import text_analysis as TA
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["ab", "abcde", ""]})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "doc_id",
+        TA.char_ngrams(F.col("text"), 5).alias("grams"),
+        TA.rolling_hash_fingerprints(F.col("text"), 8, 1).alias("fps"),
+    ).toPandas().set_index("doc_id")
+    assert list(out.loc[1, "grams"]) == []  # shorter than n → no bogus grams
+    assert list(out.loc[2, "grams"]) == ["abcde"]
+    assert list(out.loc[1, "fps"]) == [] and list(out.loc[3, "fps"]) == []

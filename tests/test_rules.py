@@ -55,7 +55,9 @@ def test_phone_standardization(messy):
     assert out.phone[1] == "555-987-6543"
     assert out.phone[2] == "555-123-4567"
     assert out.phone[3] == "invalid"
-    assert out.phone[4] == "555-222-3333"  # 11-digit with leading 1
+    # 11-digit with leading 1: reference keeps the country code
+    # (cleaning_rule.py:100-107) → already canonical, untouched
+    assert out.phone[4] == "1-555-222-3333"
 
 
 def test_currency_and_null(messy):

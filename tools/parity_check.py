@@ -53,11 +53,20 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         problems.append(f"rowcount: spark={len(spark_df)} oracle={len(oracle_df)}")
     a, b = normalize(spark_df), normalize(oracle_df)
     if len(a) == len(b):
-        neq = (a.values != b.values)
+        import numpy as np
+
+        neq = np.zeros(len(a), dtype=bool)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if str(a[c].dtype).startswith("float"):
+                # NaN == NaN for parity (corr over a constant column, avg of
+                # an empty group) — elementwise != flags them spuriously
+                neq |= ~np.isclose(av.astype(float), bv.astype(float),
+                                   rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                neq |= av != bv
         if neq.any():
-            import numpy as np
-            rows = np.where(neq.any(axis=1))[0][:3]
-            for r in rows:
+            for r in np.where(neq)[0][:3]:
                 problems.append(f"row {r}: spark={a.iloc[r].to_dict()} oracle={b.iloc[r].to_dict()}")
     return problems
 
