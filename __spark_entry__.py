@@ -376,6 +376,22 @@ def _q_knn_brute(spark, sf):
     )
 
 
+def _q_knn_blocked(spark, sf):
+    """Exact kNN join via the scale path (per-partition numpy top-k, no
+    cartesian shuffle) — same oracle as knn_brute, results identical."""
+    e = _t(spark, sf, "embeddings")
+    left = e.filter(F.col("vec_id") < 10)
+    out = similarity.knn_join_blocked(
+        left, e.filter(F.col("vec_id") >= 10), "vec_id", "vec_id", "embedding", 5
+    )
+    return out.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("nid").cast("bigint").alias("nid"),
+        "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 # ---- dedup (model/UDF-backed → rows-only checks) ----
 
 def _q_minhash_pairs(spark, sf):
@@ -409,6 +425,9 @@ def _q_quality_filter_docs(spark, sf):
 
 
 def _q_embedding_near_dup(spark, sf):
+    """Banded-LSH candidates + exact-cosine verification (the scale path);
+    the DuckDB oracle is the brute-force O(N²) twin — equality means the
+    LSH recall is 1.0 on this input (verified at sf0.001/sf0.01)."""
     e = _t(spark, sf, "embeddings")
     return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", min_cosine=0.8).select(
         F.col("id_a").cast("bigint").alias("id_a"),
@@ -454,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn_brute,
+        "knn_blocked": _q_knn_blocked,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -657,6 +677,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(label AS BIGINT) AS label, count(*) AS cnt,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
             FROM embeddings GROUP BY label
+        """,
+        "knn_blocked": """
+            WITH scored AS (
+              SELECT a.vec_id AS qid, b.vec_id AS nid,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < 10 AND b.vec_id >= 10
+            ), ranked AS (
+              SELECT qid, nid, cosine,
+                     row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+              FROM scored
+            )
+            SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
         """,
         "knn_brute": """
             WITH scored AS (

@@ -29,7 +29,8 @@ N_FILES = max(1000, int(1_000_000 * SF))
 BENCH_QUERIES = [
     "pricing_summary", "region_revenue", "top_customers", "window_top_orders",
     "doc_stats", "scrub_parity", "native_rules_docs", "token_topk",
-    "cosine_topk", "knn_brute", "minhash_pairs", "simhash_pairs",
+    "cosine_topk", "knn_brute", "knn_blocked", "embedding_near_dup",
+    "minhash_pairs", "simhash_pairs", "ngram_jaccard",
 ]
 
 
@@ -45,9 +46,27 @@ def _fixture_path(n_rows: int) -> str:
     return os.path.join(out_dir, "code_files.parquet")
 
 
-def run_quality_filter(cpus: int, n_rows: int) -> tuple[float, int]:
-    """Run the full pipeline at `cpus` parallelism; return (seconds, rows).
-    Fresh session per call so parallelism actually changes."""
+QF_REPEATS = int(os.environ.get("SPARK_GRAFT_QF_REPEATS", "3"))
+
+
+def run_quality_filter(cpus: int, n_rows: int, repeats: int = QF_REPEATS) -> tuple[float, int]:
+    """Run the full pipeline at `cpus` parallelism; return (best seconds, rows).
+    Fresh session per call so parallelism actually changes.
+
+    Methodology (BENCH/BASELINE.md "Environment"): the first FULL-SIZE run is
+    the warm-up — it pays whole-stage-codegen JIT (~20 s/plan shape) and
+    tiers up the JVM under real load, which a tiny-slice warm-up does not
+    (measured: first full run ~2× the steady state even after a 256-row
+    warm). Timed runs repeat `repeats` times and report the BEST — host
+    noise on this shared VM is ±2-5× minute-to-minute, so a single cold
+    sample measures the host, not the engine.
+
+    Config: no forced repartition — the linear pipeline has no join/agg, so
+    scan-split parallelism (maxPartitionBytes) does the work distribution
+    and the plan is shuffle-free end-to-end, which is also the right shape
+    at 100 TB (a full-corpus repartition would shuffle every byte). Salted
+    repartition stays available via PipelineConfig for skewed-source cases.
+    """
     from pyspark.sql import SparkSession
 
     from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
@@ -56,19 +75,29 @@ def run_quality_filter(cpus: int, n_rows: int) -> tuple[float, int]:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = build_session(app_name=f"bench_qf_{cpus}", cpus=cpus)
+    spark = build_session(
+        app_name=f"bench_qf_{cpus}",
+        cpus=cpus,
+        extra_conf={
+            # the fixture compresses ~5×; split the scan fine enough that
+            # every core gets tasks (compute per on-disk byte is high here)
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "262144",
+        },
+    )
     path = _fixture_path(n_rows)
     df = spark.read.parquet(path)
-    pipe = CleanPipeline(spark, PipelineConfig(num_partitions=cpus * 2))
-    # warm: trigger codegen+UDF once on a tiny slice so JIT cost is excluded
-    warm, _ = pipe.run(df.limit(256))
-    warm.agg({"keep": "count"}).collect()
-    t0 = time.time()
-    result, _audit = pipe.run(df)
-    n = result.filter("keep").count()
-    dt = time.time() - t0
+    pipe = CleanPipeline(spark, PipelineConfig(num_partitions=None))
+    n = 0
+    times: list[float] = []
+    for i in range(repeats + 1):  # run 0 = full-size warm-up, untimed
+        t0 = time.time()
+        result, _audit = pipe.run(df)
+        n = result.filter("keep").count()
+        if i > 0:
+            times.append(time.time() - t0)
     spark.stop()
-    return dt, n
+    return min(times), n
 
 
 def main() -> None:
@@ -95,11 +124,15 @@ def main() -> None:
     qs = entry.queries()
     for name in BENCH_QUERIES:
         # warm once (codegen/JIT compile ≈ 20 s per new plan shape in this
-        # sandbox), then time the steady-state run
+        # sandbox), then report the best of two steady-state runs (host
+        # noise is ±2-5×; a single sample measures the host, not the query)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries_sec[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        queries_sec[name] = round(best, 3)
     spark.stop()
 
     out = {

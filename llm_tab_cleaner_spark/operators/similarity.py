@@ -70,6 +70,38 @@ def hyperplane_buckets(
     return df.select(id_col, vec_col, bucket_udf(F.col(vec_col)).alias("bucket"))
 
 
+def banded_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bands: int = 16,
+    planes_per_band: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """`bands` random-hyperplane bucket keys per vector (array<int>, one per
+    band) from a single matmul per Arrow batch against a broadcast
+    (dim, bands*planes_per_band) plane matrix. The OR-of-ANDs banding gives
+    the recall a single bucket key cannot (see embedding_near_dup_pairs)."""
+    total = bands * planes_per_band
+
+    @F.pandas_udf("array<int>")
+    def buckets_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = None
+        for vecs in it:
+            m = np.stack(vecs.to_numpy()).astype(np.float32)
+            if planes is None:
+                rng = np.random.default_rng(seed)
+                planes = rng.standard_normal((m.shape[1], total)).astype(np.float32)
+            bits = (m @ planes) > 0  # (n, bands*r)
+            keys = np.zeros((len(vecs), bands), dtype=np.int32)
+            for b in range(bands):
+                for j in range(planes_per_band):
+                    keys[:, b] |= bits[:, b * planes_per_band + j].astype(np.int32) << j
+            yield pd.Series(list(keys))
+
+    return df.select(id_col, vec_col, buckets_udf(F.col(vec_col)).alias("buckets"))
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -78,20 +110,28 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """ANN top-k: score only vectors in the query's hyperplane bucket.
     Approximate by construction — the scale path when brute force is too
-    wide; recall improves with multi-probe (neighboring buckets)."""
+    wide. ``multiprobe`` ≥ 1 also probes every bucket within that hamming
+    distance of the query's key, the standard recall knob for single-table
+    hyperplane LSH."""
     dim = len(query)
     bucketed = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed)
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
     qbits = (np.asarray(query, dtype=np.float32) @ planes) > 0
     qkey = int(sum(int(b) << j for j, b in enumerate(qbits)))
+    keys = {qkey}
+    frontier = {qkey}
+    for _ in range(max(0, multiprobe)):
+        frontier = {key ^ (1 << j) for key in frontier for j in range(n_planes)}
+        keys |= frontier
     q = _lit_array(query)
     sim = F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 4)
     return (
-        bucketed.filter(F.col("bucket") == qkey)
+        bucketed.filter(F.col("bucket").isin(*sorted(keys)))
         .select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -112,6 +152,70 @@ def knn_join_brute(
         cosine_expr(F.col("_ql").cast("array<double>"), F.col("_qr").cast("array<double>")), 4
     )
     scored = l.crossJoin(r).select("qid", "nid", sim.alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    vec_col: str,
+    k: int = 5,
+    pad: int = 8,
+) -> DataFrame:
+    """EXACT k nearest right-rows per left-row without a cartesian shuffle —
+    the scale path for kNN joins when the query side is small (the usual
+    shape: a batch of probe vectors against a 100 TB corpus).
+
+    Stage 1: the query matrix is shipped in the UDF closure (a broadcast);
+    one ``mapInPandas`` pass over the right side computes, per partition, the
+    numpy-BLAS cosine of every (row, query) pair and keeps only the local
+    top-(k+pad) per query. Only P·M·(k+pad) candidate (qid, nid) rows leave
+    the scan stage — the vectors never shuffle.
+
+    Stage 2: candidates are re-scored with the SAME native cosine expression
+    the brute path uses (bit-identical to the oracle; numpy is used only to
+    SELECT candidates, never to produce the reported score) and ranked with
+    a window. Exactness: every true global top-k element is in its
+    partition's local top-k; ``pad`` absorbs float-noise at the local cut.
+    """
+    from pyspark.sql import Window
+
+    qpdf = left.select(F.col(id_left).alias("qid"), F.col(vec_col).alias("_q")).toPandas()
+    qids = qpdf["qid"].to_numpy()
+    qmat = np.stack(qpdf["_q"].to_numpy()).astype(np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qn = (qmat / qnorm[:, None]).T  # (dim, M)
+    take = k + pad
+
+    def local_topk(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (m / norms[:, None]) @ qn  # (n, M)
+            t = min(take, sims.shape[0])
+            idx = np.argpartition(-sims, t - 1, axis=0)[:t]  # (t, M)
+            nid = pdf[id_right].to_numpy()
+            out_q = np.repeat(qids, t)
+            out_n = nid[idx].T.reshape(-1)
+            yield pd.DataFrame({"qid": out_q, "nid": out_n})
+
+    schema = "qid long, nid long"
+    cand = right.select(id_right, vec_col).mapInPandas(local_topk, schema).distinct()
+    lv = left.select(F.col(id_left).cast("long").alias("qid"), F.col(vec_col).alias("_ql"))
+    rv = right.select(F.col(id_right).cast("long").alias("nid"), F.col(vec_col).alias("_qr"))
+    sim = F.round(
+        cosine_expr(F.col("_ql").cast("array<double>"), F.col("_qr").cast("array<double>")), 4
+    )
+    scored = (
+        cand.join(F.broadcast(lv), "qid").join(rv, "nid").select("qid", "nid", sim.alias("cosine"))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -70,6 +70,62 @@ def test_ngram_jaccard(docs):
     assert j == 1.0
 
 
+def test_simhash_signature_goldens():
+    """Fixed-input goldens for the vectorized SimHash kernel — any change to
+    tokenization, the polynomial/fmix64 hash, or the vote packing shows up
+    here. Also asserts batch-composition invariance (a row's signature must
+    not depend on its neighbors in the Arrow batch)."""
+    from llm_tab_cleaner_spark.operators.dedup import _batch_simhash
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays on "
+        "and the parade marches through the quiet town square at noon today"
+    )
+    texts = pd.Series([base, base.replace("noon", "dusk"), "", "   ", "one", "x\t y\nz"])
+    sig = [int(x) for x in _batch_simhash(texts)]
+    assert sig == [
+        -3950139006177707604,
+        -3950140105689892692,
+        0,
+        0,
+        -4718084096354523802,
+        9030847160802041190,
+    ]
+    solo = [int(_batch_simhash(pd.Series([t]))[0]) for t in texts]
+    assert solo == sig
+    # near-dup hamming stays small, unrelated text is far
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sig[0], sig[1]) <= 6
+    far = int(_batch_simhash(pd.Series(["completely unrelated words here"]))[0])
+    assert ham(sig[0], far) > 15
+
+
+def test_embedding_near_dup_lsh_matches_brute(spark):
+    """Banded LSH (the default/validated path) must find every pair the
+    brute-force twin finds on planted near-dups — recall 1.0 — and its plan
+    must not contain a cartesian product."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    rows = [(i, list(map(float, v))) for i, v in enumerate(base)]
+    # planted near-dups: tiny perturbations of vectors 0..4
+    for j in range(5):
+        v = base[j] + rng.standard_normal(32).astype(np.float32) * 0.02
+        rows.append((100 + j, list(map(float, v))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    lsh = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", min_cosine=0.95)
+    brute = dedup.embedding_near_dup_pairs(
+        df, "vec_id", "embedding", min_cosine=0.95, method="brute"
+    )
+    lp = lsh.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    bp = brute.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(bp) >= 5  # the plants are found by the oracle
+    pd.testing.assert_frame_equal(lp, bp, check_dtype=False)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan[:1500]
+
+
 def test_ngram_jaccard_short_docs_dont_crash(spark):
     # docs with fewer than n tokens used to hit sequence(1, 0) → [1, 0] →
     # slice(toks, 0, 3) → SparkRuntimeException; they must just yield no grams
