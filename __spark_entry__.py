@@ -207,6 +207,55 @@ def _q_profile_orders(spark, sf):
         F.round("min_value", 2).cast("double").alias("min_value"),
         F.round("max_value", 2).cast("double").alias("max_value"),
         F.col("avg_value").cast("double").alias("avg_value"),
+        F.col("median_value").cast("double").alias("median_value"),
+        F.col("std_value").cast("double").alias("std_value"),
+    )
+
+
+def _q_corr_matrix(spark, sf):
+    """A14 sweep: all-pairs Pearson r over lineitem numeric columns in one
+    agg pass, unpivoted to long format."""
+    li = _t(spark, sf, "lineitem")
+    return profiler.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _q_fk_sweep(spark, sf):
+    """A13 sweep: containment checks over the TPC-H FK graph — one row per
+    candidate (child, parent) pair, missing_count 0 ⇒ FK holds."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    part = _t(spark, sf, "part")
+    cust = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation")
+    region = _t(spark, sf, "region")
+    supplier = _t(spark, sf, "supplier")
+    return profiler.fk_sweep([
+        (li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey", "orders.o_orderkey"),
+        (li, "l_partkey", part, "p_partkey", "lineitem.l_partkey", "part.p_partkey"),
+        (orders, "o_custkey", cust, "c_custkey", "orders.o_custkey", "customer.c_custkey"),
+        (cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey", "nation.n_nationkey"),
+        (supplier, "s_nationkey", nation, "n_nationkey", "supplier.s_nationkey", "nation.n_nationkey"),
+        (nation, "n_regionkey", region, "r_regionkey", "nation.n_regionkey", "region.r_regionkey"),
+    ])
+
+
+def _q_length_outliers(spark, sf):
+    # z=1.5 (operator default is 3.0): the fixture's lengths are near-uniform
+    # (σ≈138 over [48,553]), so 3σ never fires — 1.5σ exercises real rows
+    d = _t(spark, sf, "documents")
+    return profiler.length_outliers(d, "doc_id", "text", 1.5)
+
+
+def _q_email_domains(spark, sf):
+    """A16: domains of every email found in the documents (suffix plants one
+    deterministic email per doc so the result is non-trivial at every SF)."""
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.col("text"), F.lit(_PII_SUFFIX)).alias("text")
+    )
+    return profiler.email_domains(d, "text").select(
+        "domain", F.col("cnt").cast("bigint").alias("cnt")
     )
 
 
@@ -458,7 +507,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_bins": _q_event_bins,
         "event_windows": _q_event_windows,
         "corr_price_qty": _q_corr_price_qty,
+        "corr_matrix": _q_corr_matrix,
         "profile_orders": _q_profile_orders,
+        "fk_sweep": _q_fk_sweep,
+        "length_outliers": _q_length_outliers,
+        "email_domains": _q_email_domains,
         "topk_parts": _q_topk_parts,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
         "doc_stats": _q_doc_stats,
@@ -604,8 +657,53 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT o_totalprice) AS distinct_count,
                    CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_value,
                    CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_value,
-                   CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_value
+                   CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_value,
+                   CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE) AS median_value,
+                   CAST(round(stddev_samp(o_totalprice), 4) AS DOUBLE) AS std_value
             FROM orders
+        """,
+        "corr_matrix": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(corr(l_quantity, l_extendedprice), 4) AS r FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem
+              UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+              UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem
+              UNION ALL SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+            )
+        """,
+        "fk_sweep": """
+            SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+                   (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) c
+                    WHERE v NOT IN (SELECT o_orderkey FROM orders)) AS missing_count
+            UNION ALL SELECT 'lineitem.l_partkey', 'part.p_partkey',
+                   (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS v FROM lineitem) c
+                    WHERE v NOT IN (SELECT p_partkey FROM part))
+            UNION ALL SELECT 'orders.o_custkey', 'customer.c_custkey',
+                   (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c
+                    WHERE v NOT IN (SELECT c_custkey FROM customer))
+            UNION ALL SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+                   (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS v FROM customer) c
+                    WHERE v NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL SELECT 'supplier.s_nationkey', 'nation.n_nationkey',
+                   (SELECT count(*) FROM (SELECT DISTINCT s_nationkey AS v FROM supplier) c
+                    WHERE v NOT IN (SELECT n_nationkey FROM nation))
+            UNION ALL SELECT 'nation.n_regionkey', 'region.r_regionkey',
+                   (SELECT count(*) FROM (SELECT DISTINCT n_regionkey AS v FROM nation) c
+                    WHERE v NOT IN (SELECT r_regionkey FROM region))
+        """,
+        "length_outliers": """
+            WITH s AS (SELECT avg(len(text)) AS mu, stddev_samp(len(text)) AS sigma FROM documents)
+            SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_calc
+            FROM documents, s WHERE abs(len(text) - mu) > 1.5 * sigma
+        """,
+        "email_domains": f"""
+            SELECT lower(regexp_extract(email, '@(.+)$', 1)) AS domain, count(*) AS cnt
+            FROM (
+              SELECT unnest(regexp_extract_all(text || '{_PII_SUFFIX}',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS email
+              FROM documents
+            ) GROUP BY 1
         """,
         "topk_parts": """
             SELECT l_partkey, count(*) AS cnt FROM lineitem

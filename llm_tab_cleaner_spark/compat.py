@@ -20,7 +20,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_tab_cleaner_spark.operators.rules import RuleSpec, apply_rules, create_default_rules
+from llm_tab_cleaner_spark.operators.rules import (
+    CleaningRule,
+    RuleSet,
+    RuleSpec,
+    apply_rules,
+    create_default_rules,
+)
 from llm_tab_cleaner_spark.plans.pipeline import CleaningReport
 
 
@@ -34,7 +40,9 @@ class TableCleaner:
     """
 
     confidence_threshold: float = 0.85
-    rules: list[RuleSpec] | None = None
+    # RuleSpec (native Column plans) or reference-shaped CleaningRule
+    # (string DSL, compiled by apply_rules) — mix freely
+    rules: list[RuleSpec | CleaningRule] | None = None
     columns: list[str] | None = None
 
     def clean(self, df: DataFrame, key_cols: list[str] | None = None) -> tuple[DataFrame, CleaningReport]:
@@ -43,24 +51,30 @@ class TableCleaner:
         import time
 
         t0 = time.time()
+        rules = self.rules.rules if isinstance(self.rules, RuleSet) else self.rules
         res = apply_rules(
             df,
             columns=self.columns,
-            rules=self.rules if self.rules is not None else create_default_rules(),
+            rules=rules if rules is not None else create_default_rules(),
             confidence_threshold=self.confidence_threshold,
             key_cols=key_cols or [],
         )
-        stats = res.audit.agg(
-            F.count(F.lit(1)).alias("fixes"),
-            F.avg("confidence").alias("avg_conf"),
-        ).collect()[0]
+        # ONE job over the audit plan: per-rule count + confidence sum, the
+        # totals derived on the driver (round 1 ran three jobs over the
+        # unpersisted rule projection — audit agg, count, rule groupBy)
+        rule_rows = (
+            res.audit.groupBy("rule_fired")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("confidence").alias("conf_sum"))
+            .collect()
+        )
         total = df.count()
-        n_fixes = int(stats["fixes"] or 0)
-        avg_conf = float(stats["avg_conf"] or 0.0)
+        n_fixes = sum(int(r["cnt"]) for r in rule_rows)
+        avg_conf = (
+            sum(float(r["conf_sum"]) for r in rule_rows) / n_fixes if n_fixes else 0.0
+        )
         # quality heuristic mirrors core.py:589-612
         fix_ratio = n_fixes / max(total, 1)
         quality = min(1.0, 0.8 + fix_ratio * 0.1 + avg_conf * 0.1)
-        rule_rows = res.audit.groupBy("rule_fired").count().collect()
         report = CleaningReport(
             total_files=total,
             kept=total,
@@ -68,9 +82,10 @@ class TableCleaner:
             scrubbed=0,
             avg_confidence=avg_conf,
             quality_score=quality,
-            rule_counts={r["rule_fired"]: r["count"] for r in rule_rows},
+            rule_counts={r["rule_fired"]: int(r["cnt"]) for r in rule_rows},
             processing_time=time.time() - t0,
         )
+        self.last_audit = res.audit  # long-format fix table (consumers: CLI --audit)
         return res.cleaned, report
 
 

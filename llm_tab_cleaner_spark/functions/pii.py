@@ -42,6 +42,8 @@ TOXIC_RULE = ("toxic", _TOXIC_PATTERN, "<TOXIC>")
 
 ALL_RULES: tuple[tuple[str, str, str], ...] = SCRUB_RULES + (TOXIC_RULE,)
 
+EMAIL_PATTERN = SCRUB_RULES[0][1]  # shared by profiler.email_domains + oracles
+
 _COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in ALL_RULES]
 
 

@@ -16,8 +16,12 @@ from pyspark.sql import functions as F
 
 
 def column_stats(df: DataFrame, col: str, numeric: bool = True) -> DataFrame:
-    """A1-A4: null count/pct, exact distinct, numeric stats — one agg pass.
-    (Reference computes these with separate .count() jobs, spark.py:183-184.)"""
+    """A1-A4: null count/pct, exact distinct, numeric stats (incl. exact
+    interpolated median and stddev, reference profiler.py:149-156) — one agg
+    pass. (Reference computes these with separate .count() jobs,
+    spark.py:183-184.) At 100 TB swap ``percentile`` for
+    ``percentile_approx`` — the exact form keeps per-group values in memory;
+    the approx form is a fixed-size sketch."""
     c = F.col(col)
     aggs = [
         F.count(F.lit(1)).alias("row_count"),
@@ -29,6 +33,8 @@ def column_stats(df: DataFrame, col: str, numeric: bool = True) -> DataFrame:
             F.min(c).alias("min_value"),
             F.max(c).alias("max_value"),
             F.round(F.avg(c), 4).alias("avg_value"),
+            F.round(F.expr(f"percentile({col}, 0.5)"), 4).alias("median_value"),
+            F.round(F.stddev_samp(c), 4).alias("std_value"),
         ]
     else:
         aggs += [
@@ -86,6 +92,73 @@ def correlation(df: DataFrame, c1: str, c2: str) -> DataFrame:
     """A14: Pearson correlation of two numeric columns (rounded for oracle
     comparability across engines)."""
     return df.agg(F.round(F.corr(F.col(c1), F.col(c2)), 4).alias("corr_value"))
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A14 sweep (reference profiler.py:497-514): Pearson r for every column
+    pair, computed in ONE aggregation pass (all corr exprs share the scan)
+    then unpivoted with stack — long format (col_a, col_b, r), |r| ready for
+    the reference's > 0.8 flag."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [F.round(F.corr(F.col(a), F.col(b)), 4).alias(f"{a}__{b}") for a, b in pairs]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return row.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, r)")
+    )
+
+
+def length_outliers(df: DataFrame, id_col: str, col: str, z: float = 3.0) -> DataFrame:
+    """A8 (reference profiler.py:346-359): rows whose text length is more
+    than z standard deviations from the mean length. Same two-stage shape as
+    zscore_outliers: 1-row stats agg broadcast into the filter."""
+    c = F.length(F.col(col))
+    stats = df.agg(F.avg(c).alias("_mu"), F.stddev_samp(c).alias("_sigma"))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .filter(F.abs(c - F.col("_mu")) > z * F.col("_sigma"))
+        .select(id_col, c.cast("bigint").alias("n_chars_calc"))
+    )
+
+
+def email_domains(df: DataFrame, col: str, pattern: str | None = None) -> DataFrame:
+    """A16 (reference profiler.py:305-312): extract every email in the text
+    column, group by lowercased domain. One scan + one hash agg."""
+    from llm_tab_cleaner_spark.functions.pii import EMAIL_PATTERN
+
+    pat = pattern or EMAIL_PATTERN
+    emails = df.select(
+        F.explode(F.regexp_extract_all(F.col(col), F.lit(pat), 0)).alias("email")
+    )
+    return (
+        emails.groupBy(
+            F.lower(F.regexp_extract("email", "@(.+)$", 1)).alias("domain")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def fk_sweep(
+    pairs: list[tuple[DataFrame, str, DataFrame, str, str, str]]
+) -> DataFrame:
+    """A13 sweep (reference profiler.py:473-495): containment check for every
+    candidate (child, parent) pair — one row per pair with the count of child
+    values missing from the parent (0 ⇒ potential foreign key). Each check is
+    a distinct + left-anti join; pairs are unioned, so Spark schedules them
+    concurrently. Pair tuple: (child_df, child_col, parent_df, parent_col,
+    child_label, parent_label)."""
+    from functools import reduce
+
+    parts = []
+    for child_df, child_col, parent_df, parent_col, cl, pl in pairs:
+        parts.append(
+            fk_containment(child_df, child_col, parent_df, parent_col).select(
+                F.lit(cl).alias("child"),
+                F.lit(pl).alias("parent"),
+                F.col("missing_count").cast("bigint").alias("missing_count"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def fk_containment(df: DataFrame, child_col: str, parent_df: DataFrame, parent_col: str) -> DataFrame:

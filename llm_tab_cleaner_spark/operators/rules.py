@@ -153,6 +153,107 @@ def create_default_rules() -> list[RuleSpec]:
 
 
 @dataclass
+class CleaningRule:
+    """Reference-shaped rule declaration (cleaning_rule.py:14-30): the
+    string-DSL surface a llm-tab-cleaner user writes. Compiled to a RuleSpec
+    (native Column plan) by ``compile_cleaning_rule`` — ported call sites
+    keep their kwargs:
+
+        CleaningRule(name="fix_dates", pattern=r"(\\d{2})/(\\d{2})/(\\d{4})",
+                     transform="replace:\\3-\\1-\\2", confidence=0.8)
+
+    Semantics follow CleaningRule.apply (cleaning_rule.py:40-109): a custom
+    ``function`` wins, else pattern+transform (applied only when the pattern
+    matches), else exact example lookup. Divergences (documented): a custom
+    function runs as a Python UDF with THIS rule's fixed confidence (the
+    reference lets the callable return its own per-value confidence), and
+    ``title_case`` maps to Spark's initcap (word starts after whitespace,
+    not after every non-letter as str.title does).
+    """
+
+    name: str
+    description: str = ""
+    examples: list[tuple[str, str]] | None = None
+    pattern: str | None = None
+    transform: str | None = None
+    function: Callable | None = None
+    confidence: float = 0.8
+    column_patterns: tuple[str, ...] = ()
+    data_types: tuple[str, ...] = ()  # accepted for source compat; the Spark
+    # engine targets string columns selected by column_patterns (the
+    # reference's semantic-type inference is profile-side, not rule-side here)
+
+
+class RuleSet:
+    """Ordered rule collection (reference cleaning_rule.py:115-175 surface:
+    get/add/remove by name). Pass to TableCleaner(rules=...) or apply_rules
+    via ``.rules``."""
+
+    def __init__(self, rules: list[CleaningRule] | None = None):
+        self.rules: list[CleaningRule] = list(rules or [])
+
+    def get_rule(self, name: str) -> CleaningRule | None:
+        return next((r for r in self.rules if r.name == name), None)
+
+    def add_rule(self, rule: CleaningRule) -> None:
+        self.rules.append(rule)
+
+    def remove_rule(self, name: str) -> bool:
+        before = len(self.rules)
+        self.rules = [r for r in self.rules if r.name != name]
+        return len(self.rules) < before
+
+
+_NAMED_TRANSFORMS: dict[str, Callable[[Column], Column]] = {
+    "lowercase": F.lower,
+    "uppercase": F.upper,
+    "title_case": F.initcap,
+    "strip_whitespace": ws_strip,
+    "remove_special_chars": lambda c: F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""),
+    "standardize_phone": lambda c: _phone_standardize(c),
+    "standardize_email": lambda c: F.lower(ws_strip(c)),
+}
+
+
+def _java_replacement(repl: str) -> str:
+    """Python-re group refs (\\1) → Java ($1), the only dialect difference a
+    reference replace-string can carry."""
+    return re.sub(r"\\(\d+)", r"$\1", repl)
+
+
+def compile_cleaning_rule(rule: CleaningRule) -> RuleSpec:
+    """CleaningRule (string DSL) → RuleSpec (Column plan), mirroring
+    CleaningRule.apply's dispatch order (cleaning_rule.py:40-109)."""
+    if rule.function is not None:
+        fn = rule.function
+        py = F.udf(lambda v: None if v is None else str(fn(v)[0]), "string")
+        transform = lambda c: py(c)
+    elif rule.pattern and rule.transform:
+        pat = rule.pattern
+        if rule.transform.startswith("replace:"):
+            repl = _java_replacement(rule.transform.split(":", 1)[1])
+            transform = lambda c: F.when(
+                c.rlike(pat), F.regexp_replace(c, pat, repl)
+            ).otherwise(c)
+        else:
+            named = _NAMED_TRANSFORMS.get(rule.transform)
+            if named is None:
+                raise ValueError(f"unknown transform: {rule.transform!r}")
+            transform = lambda c: F.when(c.rlike(pat), named(c)).otherwise(c)
+    elif rule.examples:
+        transform = _map_lookup({str(k): str(v) for k, v in rule.examples})
+    else:
+        transform = lambda c: c  # no-op rule, like the reference's fallthrough
+    return RuleSpec(
+        name=rule.name,
+        confidence=rule.confidence,
+        transform=transform,
+        column_patterns=tuple(rule.column_patterns),
+        description=rule.description,
+    )
+
+
+@dataclass
 class AppliedRules:
     cleaned: DataFrame
     audit: DataFrame
@@ -169,6 +270,9 @@ def apply_rules(
     """Compile and apply the rule table to string columns — one projection,
     no shuffle, no Python. Returns cleaned df + long-format audit."""
     rules = rules if rules is not None else create_default_rules()
+    rules = [
+        compile_cleaning_rule(r) if isinstance(r, CleaningRule) else r for r in rules
+    ]
     str_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
     columns = [c for c in (columns or str_cols) if c in str_cols]
     key_cols = key_cols or []

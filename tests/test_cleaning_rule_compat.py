@@ -1,0 +1,125 @@
+"""CleaningRule string-DSL compat — mirrors the reference's
+tests/test_cleaning_rule.py surface cases and drives the DSL end-to-end
+through compat.TableCleaner (reference cleaning_rule.py:14-175 semantics)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.compat import TableCleaner
+from llm_tab_cleaner_spark.operators.rules import CleaningRule, RuleSet, compile_cleaning_rule
+
+
+# ---- structural parity with reference tests/test_cleaning_rule.py ----
+
+def test_basic_rule_creation():
+    rule = CleaningRule(name="test_rule", description="A test rule")
+    assert rule.name == "test_rule"
+    assert rule.description == "A test rule"
+    assert rule.examples is None and rule.pattern is None and rule.transform is None
+
+
+def test_rule_with_examples():
+    examples = [("CA", "California"), ("NY", "New York")]
+    rule = CleaningRule(name="state_expansion", description="x", examples=examples)
+    assert rule.examples == examples
+
+
+def test_ruleset_surface():
+    r1, r2 = CleaningRule("rule1", "First"), CleaningRule("rule2", "Second")
+    rs = RuleSet([r1, r2])
+    assert len(rs.rules) == 2
+    assert rs.get_rule("rule1") is r1
+    rs.add_rule(CleaningRule("new_rule", "n"))
+    assert rs.get_rule("new_rule") is not None
+    assert rs.remove_rule("rule1") is True
+    assert rs.remove_rule("rule1") is False
+    assert rs.get_rule("rule1") is None
+
+
+# ---- DSL transforms through the engine ----
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    pdf = pd.DataFrame(
+        {
+            "name": ["  JOHN DOE  ", "jane smith", "x!y@z#"],
+            "code": ["abc-123!", "ok", "a&b"],
+            "when": ["12/25/1985", "1990-01-15", "bad"],
+        }
+    )
+    rules = [
+        CleaningRule(
+            name="strip", pattern=r"^\s+|\s+$", transform="strip_whitespace",
+            confidence=0.99,
+        ),
+        CleaningRule(
+            name="lower_names", pattern=r"[A-Z]", transform="lowercase",
+            column_patterns=("name",), confidence=0.9,
+        ),
+        CleaningRule(
+            name="despecial", pattern=r"[^a-zA-Z0-9\s]", transform="remove_special_chars",
+            column_patterns=("code",), confidence=0.85,
+        ),
+        CleaningRule(
+            name="dates", pattern=r"(\d{1,2})/(\d{1,2})/(\d{4})",
+            transform="replace:\\3-\\1-\\2", column_patterns=("when",), confidence=0.8,
+        ),
+    ]
+    out, report = TableCleaner(rules=RuleSet(rules), confidence_threshold=0.7).clean(
+        spark.createDataFrame(pdf)
+    )
+    return out.toPandas(), report
+
+
+def test_dsl_strip_beats_lower_on_padded(cleaned):
+    out, _ = cleaned
+    # max-confidence-wins: strip (0.99) outbids lowercase (0.9) on ' JOHN '
+    assert out.name[0] == "JOHN DOE"
+    assert out.name[2] == "x!y@z#"  # no whitespace, no uppercase → untouched
+
+
+def test_dsl_remove_special_chars(cleaned):
+    out, _ = cleaned
+    assert out.code[0] == "abc123"
+    assert out.code[1] == "ok"
+    assert out.code[2] == "ab"
+
+
+def test_dsl_replace_group_refs(cleaned):
+    out, _ = cleaned
+    assert out["when"][0] == "1985-12-25"  # \3-\1-\2 → $3-$1-$2
+    assert out["when"][1] == "1990-01-15"
+    assert out["when"][2] == "bad"
+
+
+def test_dsl_report_counts(cleaned):
+    _, report = cleaned
+    assert report.rule_counts.get("dates") == 1
+    assert report.rule_counts.get("despecial") == 2
+    assert report.total_files == 3
+
+
+def test_examples_and_custom_function(spark):
+    pdf = pd.DataFrame({"state": ["ca", "TX ", "nowhere"], "v": ["a", "b", "c"]})
+    rules = [
+        CleaningRule(
+            name="expand", examples=[("CA", "California"), ("TX", "Texas")],
+            column_patterns=("state",), confidence=0.9,
+        ),
+        CleaningRule(
+            name="custom_upper", function=lambda v: (v.upper(), 0.9),
+            column_patterns=(r"^v$",), confidence=0.88,
+        ),
+    ]
+    out, _ = TableCleaner(rules=rules).clean(spark.createDataFrame(pdf))
+    o = out.toPandas()
+    # example lookup is lower/strip on the ORIGINAL (cleaning_rule.py:79-84)
+    assert list(o.state) == ["California", "Texas", "nowhere"]
+    assert list(o.v) == ["A", "B", "C"]
+
+
+def test_unknown_transform_raises():
+    with pytest.raises(ValueError, match="unknown transform"):
+        compile_cleaning_rule(CleaningRule("bad", pattern="x", transform="nope"))
