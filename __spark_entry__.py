@@ -241,6 +241,47 @@ def _q_fk_sweep(spark, sf):
     ])
 
 
+def _q_validity_counts(spark, sf):
+    """P3/P4/P5/P6 standalone predicates over customer: phone validity on
+    c_phone, numeric-parse on a currency-formatted c_acctbal, email/date
+    shapes on synthesized columns (exercises every predicate regex)."""
+    from llm_tab_cleaner_spark.functions import predicates as P
+
+    c = _t(spark, sf, "customer")
+    # the driver's customer table has no phone column — synthesize one
+    # deterministically from the key (custkey < 1000 → too few digits)
+    phone = F.concat(F.lit("555-"), F.col("c_custkey").cast("string"))
+    money = F.concat(F.lit("$"), F.col("c_acctbal").cast("string"))
+    email_raw = F.concat(F.col("c_name"), F.lit("@example.com"))  # '#' → invalid
+    email_ok = F.concat(
+        F.regexp_replace(F.col("c_name"), r"[^a-zA-Z0-9]", ""), F.lit("@example.com")
+    )
+    datish = F.concat(F.lit("19"), F.lpad(F.pmod(F.col("c_custkey"), 100), 2, "0"),
+                      F.lit("-01-15"))
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(P.phone_valid(phone).cast("bigint")).alias("n_valid_phone"),
+        F.sum(P.numeric_parseable(money).cast("bigint")).alias("n_parseable_money"),
+        F.sum(P.email_valid(email_raw).cast("bigint")).alias("n_valid_email_raw"),
+        F.sum(P.email_valid(email_ok).cast("bigint")).alias("n_valid_email_sanitized"),
+        F.sum(P.date_format_valid(datish).cast("bigint")).alias("n_valid_dates"),
+    )
+
+
+def _q_dp_noise(spark, sf):
+    """T20: deterministic (hash-keyed) Laplace mechanism — noisy per-flag
+    quantity sums; the DuckDB oracle replays the identical noise from md5."""
+    from llm_tab_cleaner_spark.functions.privacy import keyed_laplace_noise_expr
+
+    li = _t(spark, sf, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    noisy = F.col("l_quantity").cast("double") + keyed_laplace_noise_expr(key, 1.0, 1.0)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.round(F.sum(noisy), 2).cast("double").alias("noisy_sum_qty"),
+    )
+
+
 def _q_length_outliers(spark, sf):
     # z=1.5 (operator default is 3.0): the fixture's lengths are near-uniform
     # (σ≈138 over [48,553]), so 3σ never fires — 1.5σ exercises real rows
@@ -512,6 +553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_sweep": _q_fk_sweep,
         "length_outliers": _q_length_outliers,
         "email_domains": _q_email_domains,
+        "dp_noise": _q_dp_noise,
+        "validity_counts": _q_validity_counts,
         "topk_parts": _q_topk_parts,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
         "doc_stats": _q_doc_stats,
@@ -541,6 +584,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
 _NULLISH_LIST = ", ".join(f"'{t}'" for t in TH.NULLISH_TOKENS)
+
+
+def _dp_noise_sql() -> str:
+    from llm_tab_cleaner_spark.functions.privacy import keyed_laplace_noise_sql
+
+    noise = keyed_laplace_noise_sql(
+        "(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR)", 1.0, 1.0
+    )
+    return f"""
+        SELECT l_returnflag, count(*) AS cnt,
+               CAST(round(sum(l_quantity::DOUBLE + {noise}), 2) AS DOUBLE) AS noisy_sum_qty
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+
+_DP_NOISE_SQL = _dp_noise_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -691,6 +750,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'nation.n_regionkey', 'region.r_regionkey',
                    (SELECT count(*) FROM (SELECT DISTINCT n_regionkey AS v FROM nation) c
                     WHERE v NOT IN (SELECT r_regionkey FROM region))
+        """,
+        "dp_noise": _DP_NOISE_SQL,
+        "validity_counts": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN len(regexp_replace('555-' || c_custkey::VARCHAR, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_phone,
+                   CAST(sum(CASE WHEN len(regexp_replace(trim('$' || c_acctbal::VARCHAR), '[$,%]', '', 'g')) > 0
+                                  AND TRY_CAST(regexp_replace(trim('$' || c_acctbal::VARCHAR), '[$,%]', '', 'g') AS DOUBLE) IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_parseable_money,
+                   CAST(sum(CASE WHEN regexp_matches(c_name || '@example.com',
+                            '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_email_raw,
+                   CAST(sum(CASE WHEN regexp_matches(regexp_replace(c_name, '[^a-zA-Z0-9]', '', 'g') || '@example.com',
+                            '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_email_sanitized,
+                   CAST(sum(CASE WHEN regexp_matches('19' || lpad((c_custkey % 100)::VARCHAR, 2, '0') || '-01-15',
+                            '^\\d{4}-\\d{2}-\\d{2}$')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_dates
+            FROM customer
         """,
         "length_outliers": """
             WITH s AS (SELECT avg(len(text)) AS mu, stddev_samp(len(text)) AS sigma FROM documents)

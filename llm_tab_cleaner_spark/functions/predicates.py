@@ -1,0 +1,58 @@
+"""Standalone validity predicates (SURVEY §2.2 P3-P6) — native Column exprs.
+
+The reference embeds these checks inside _identify_problematic_values
+(/root/reference/src/llm_tab_cleaner/core.py:541-587) and the profiler's
+anomaly pass (profiler.py:362-381); here each is a reusable Boolean Column so
+they compose into filters, aggregations, and rule applicability masks. All
+regexes stay in the Java/RE2/Python-common dialect (CLAUDE.md scrub rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# profiler.py:362-369's full form (stricter than core.py:564-566's cheap
+# '@' and '.' containment check)
+EMAIL_VALID_RE = r"^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$"
+
+DATE_FORMAT_RES = (
+    r"^\d{4}-\d{2}-\d{2}$",      # ISO
+    r"^\d{2}/\d{2}/\d{4}$",      # US
+    r"^\d{2}-\d{2}-\d{4}$",      # dashed US
+)
+
+
+def email_valid(col: Column) -> Column:
+    """P3 (core.py:564-566 / profiler.py:362-369): full-regex email check."""
+    return col.isNotNull() & col.rlike(EMAIL_VALID_RE)
+
+
+def phone_valid(col: Column) -> Column:
+    """P4 (core.py:567-570 / profiler.py:371-381): 7-15 digits after
+    stripping everything non-numeric."""
+    digits = F.length(F.regexp_replace(col, r"[^0-9]", ""))
+    return col.isNotNull() & digits.between(7, 15)
+
+
+def numeric_parseable(col: Column) -> Column:
+    """P5 (core.py:571-576): value parses as a number once currency
+    punctuation ($ , %) is stripped — `float(...)` success in the reference
+    becomes a null-safe cast probe."""
+    stripped = F.regexp_replace(F.trim(col), r"[$,%]", "")
+    return (
+        col.isNotNull()
+        & (F.length(stripped) > 0)
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain cast
+        # THROW on malformed strings instead of returning null
+        & stripped.try_cast("double").isNotNull()
+    )
+
+
+def date_format_valid(col: Column) -> Column:
+    """P6 (core.py:577-585): value matches one of the three accepted date
+    shapes (format only — the reference does not range-check components)."""
+    out = F.lit(False)
+    for pat in DATE_FORMAT_RES:
+        out = out | col.rlike(pat)
+    return col.isNotNull() & out

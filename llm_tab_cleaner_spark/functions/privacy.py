@@ -1,0 +1,59 @@
+"""Differential-privacy noise (T20) — native Laplace mechanism.
+
+Re-expresses the reference's Laplace noise on numeric columns
+(/root/reference/src/llm_tab_cleaner/advanced_security.py:142-168, numpy
+``np.random.laplace`` per value) as a pure Column expression:
+
+    noise = -b * sign(u) * ln(1 - 2|u|),  u ~ Uniform(-1/2, 1/2),  b = Δ/ε
+
+Two uniform sources:
+
+* ``laplace_noise_expr`` — ``F.rand(seed)``: fresh noise per run, the form a
+  production DP release would use (per-partition deterministic given the
+  seed and partition layout, like the reference's seeded numpy).
+* ``keyed_laplace_noise_expr`` — u derived from ``md5(key)``: the SAME row
+  always draws the same noise. This trades the usual "fresh randomness per
+  release" DP hygiene for reproducibility (resume-idempotent, and an
+  external engine can replay it exactly — our DuckDB oracle does), which is
+  the right default inside a checkpoint/resume pipeline: re-running a batch
+  must not change already-released values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TWO32 = float(1 << 32)
+
+
+def _laplace_from_uniform(u01: Column, scale: float) -> Column:
+    """u01 ∈ (0,1) → Laplace(0, scale) via inverse CDF."""
+    u = u01 - F.lit(0.5)
+    mag = F.lit(1.0) - F.lit(2.0) * F.abs(u)
+    return F.lit(-scale) * F.signum(u) * F.log(mag)
+
+
+def laplace_noise_expr(sensitivity: float = 1.0, epsilon: float = 1.0, seed: int = 42) -> Column:
+    """Fresh Laplace(0, Δ/ε) noise per run (rand-based)."""
+    # rand() ∈ [0,1); nudge off the endpoints so ln never sees 0
+    u01 = F.rand(seed) * F.lit(1.0 - 1e-12) + F.lit(5e-13)
+    return _laplace_from_uniform(u01, sensitivity / epsilon)
+
+
+def keyed_laplace_noise_expr(
+    key: Column, sensitivity: float = 1.0, epsilon: float = 1.0
+) -> Column:
+    """Deterministic Laplace(0, Δ/ε) noise keyed on md5(key) — identical in
+    any engine with md5 (DuckDB oracle: ('0x'||substr(md5(k),1,8))::UBIGINT)."""
+    v = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+    u01 = (v + F.lit(0.5)) / F.lit(_TWO32)  # ∈ (0,1), never 0 or 1
+    return _laplace_from_uniform(u01, sensitivity / epsilon)
+
+
+def keyed_laplace_noise_sql(key_sql: str, sensitivity: float = 1.0, epsilon: float = 1.0) -> str:
+    """The DuckDB twin of keyed_laplace_noise_expr (same bits, same math)."""
+    b = sensitivity / epsilon
+    u01 = f"((('0x' || substr(md5({key_sql}), 1, 8))::UBIGINT + 0.5) / {_TWO32})"
+    u = f"({u01} - 0.5)"
+    return f"(-{b} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"

@@ -19,15 +19,24 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _pava(conf: np.ndarray, label: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _pava(
+    conf: np.ndarray, label: np.ndarray, max_segments: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
     """Pool-adjacent-violators: isotonic fit of P(correct | confidence).
-    Returns (breakpoints, values) of the fitted step function."""
+    Returns (breakpoints, values) of the fitted step function.
+
+    The sorted sample is first grouped into ≤ ``max_segments`` equal-count
+    bins (weighted PAVA over bin aggregates) — statistically this is the
+    usual pre-binning regularizer, and it bounds the size of the compiled
+    when-chain (an unbounded chain of nested CASEs overflowed the Catalyst
+    converter stack at a few hundred segments)."""
     order = np.argsort(conf, kind="stable")
     x, y = conf[order], label[order].astype(np.float64)
-    # blocks: (sum, count); merge while decreasing
-    sums = list(y)
-    cnts = [1.0] * len(y)
-    xs = list(x)
+    n_bins = min(max_segments, len(x))
+    idx_groups = np.array_split(np.arange(len(x)), n_bins)
+    xs = [float(x[g[0]]) for g in idx_groups]
+    sums = [float(y[g].sum()) for g in idx_groups]
+    cnts = [float(len(g)) for g in idx_groups]
     i = 0
     while i < len(sums) - 1:
         if sums[i] / cnts[i] > sums[i + 1] / cnts[i + 1]:
@@ -44,20 +53,65 @@ def _pava(conf: np.ndarray, label: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 @dataclass
 class Calibrator:
-    method: str  # "isotonic" | "histogram"
-    breakpoints: np.ndarray  # ascending thresholds
-    values: np.ndarray  # calibrated probability per segment
+    method: str  # "isotonic" | "histogram" | "platt" | "identity"
+    breakpoints: np.ndarray  # ascending thresholds (step methods)
+    values: np.ndarray  # calibrated probability per segment (step methods)
+    a: float = 0.0  # platt: p = sigmoid(a*conf + b)
+    b: float = 0.0
 
     def expr(self, conf_col: Column) -> Column:
-        """Compile the step function to a native when-chain (no UDF)."""
-        out = F.lit(float(self.values[0]))
-        for bp, v in zip(self.breakpoints[1:], self.values[1:]):
-            out = F.when(conf_col >= float(bp), F.lit(float(v))).otherwise(out)
-        return out
+        """Compile the calibrator to a native expression (no UDF): a
+        when-chain for step methods, a closed-form sigmoid for Platt."""
+        if self.method == "identity":
+            return conf_col
+        if self.method == "platt":
+            z = F.lit(float(self.a)) * conf_col + F.lit(float(self.b))
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # ONE flat CaseWhen (highest breakpoint first), not nested
+        # .otherwise chains — nesting overflows Catalyst's converter stack
+        # beyond a few hundred segments
+        out = None
+        for bp, v in zip(self.breakpoints[1:][::-1], self.values[1:][::-1]):
+            cond = conf_col >= float(bp)
+            out = F.when(cond, float(v)) if out is None else out.when(cond, float(v))
+        if out is None:
+            return F.lit(float(self.values[0]))
+        return out.otherwise(float(self.values[0]))
 
     def apply_numpy(self, conf: np.ndarray) -> np.ndarray:
+        if self.method == "identity":
+            return conf
+        if self.method == "platt":
+            return 1.0 / (1.0 + np.exp(-(self.a * conf + self.b)))
         idx = np.searchsorted(self.breakpoints, conf, side="right") - 1
         return self.values[np.clip(idx, 0, len(self.values) - 1)]
+
+
+def _fit_platt(conf: np.ndarray, label: np.ndarray, max_iter: int = 100) -> tuple[float, float]:
+    """Platt scaling (reference confidence.py:232-265's sigmoid method):
+    logistic fit p = sigmoid(a·conf + b) by Newton/IRLS against Platt's
+    smoothed targets (the +1/+2 prior that keeps the fit finite when a class
+    is rare). Pure numpy; deterministic."""
+    n1 = float(label.sum())
+    n0 = float(len(label) - n1)
+    t = np.where(label > 0, (n1 + 1.0) / (n1 + 2.0), 1.0 / (n0 + 2.0))
+    a, b = 0.0, float(np.log((n1 + 1.0) / (n0 + 1.0)))
+    f = conf.astype(np.float64)
+    for _ in range(max_iter):
+        q = 1.0 / (1.0 + np.exp(-(a * f + b)))
+        g = q - t
+        ga, gb = float((f * g).sum()), float(g.sum())
+        w = q * (1.0 - q) + 1e-12
+        haa, hab, hbb = float((f * f * w).sum()), float((f * w).sum()), float(w.sum())
+        det = haa * hbb - hab * hab
+        if abs(det) < 1e-12:
+            break
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        a, b = a - da, b - db
+        if abs(da) < 1e-10 and abs(db) < 1e-10:
+            break
+    return a, b
 
 
 def fit_calibrator(
@@ -87,6 +141,9 @@ def fit_calibrator(
     if method == "isotonic":
         bps, vals = _pava(conf, label)
         return Calibrator("isotonic", bps, vals)
+    if method == "platt":
+        a, b = _fit_platt(conf, label)
+        return Calibrator("platt", np.array([0.0]), np.array([np.nan]), a=a, b=b)
     # histogram binning (confidence.py:232-265)
     edges = np.linspace(0.0, 1.0, n_bins + 1)
     idx = np.clip(np.digitize(conf, edges) - 1, 0, n_bins - 1)

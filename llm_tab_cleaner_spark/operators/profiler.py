@@ -174,7 +174,13 @@ def fk_containment(df: DataFrame, child_col: str, parent_df: DataFrame, parent_c
 
 @dataclass
 class ColumnProfile:
-    """Reference ColumnProfile (profiler.py:16-54), distributed-computed."""
+    """Reference ColumnProfile (profiler.py:16-54), distributed-computed.
+    ``patterns`` holds the share of non-null values matching each semantic
+    shape (email/phone/date/numeric — reference's pattern detection,
+    profiler.py:362-381); ``common_values`` is the per-column top-k
+    (opt-in); ``suggestions`` mirror profiler.py's issue→advice strings.
+    Anomaly ROWS are separate operators (zscore_outliers, length_outliers,
+    rare_categories) — a profile carries stats, not data."""
 
     name: str
     data_type: str
@@ -188,6 +194,9 @@ class ColumnProfile:
     max_value: object = None
     quality_score: float = 1.0
     issues: list[str] = field(default_factory=list)
+    patterns: dict[str, float] = field(default_factory=dict)
+    common_values: list[tuple[object, int]] = field(default_factory=list)
+    suggestions: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -206,15 +215,32 @@ class TableProfile:
 _NUMERIC = {"int", "bigint", "double", "float", "decimal", "smallint", "tinyint"}
 
 
-def profile_table(df: DataFrame, approx_distinct: bool = False) -> TableProfile:
+def profile_table(
+    df: DataFrame,
+    approx_distinct: bool = False,
+    detect_patterns: bool = True,
+    common_values_k: int = 0,
+) -> TableProfile:
     """The reference's DataProfiler.profile_table (profiler.py:90-132) in
     exactly TWO jobs: one wide agg pass over every column (nulls, distinct,
-    numeric stats, min/max) + one duplicate-row count. The reference runs
-    one pandas pass per column; at 100 TB set approx_distinct=True to swap
-    exact count_distinct for HLL sketches (single-digit % error, no extra
-    shuffle pressure)."""
+    numeric stats, min/max, semantic-pattern shares) + one duplicate-row
+    count. The reference runs one pandas pass per column; at 100 TB set
+    approx_distinct=True to swap exact count_distinct for HLL sketches
+    (single-digit % error, no extra shuffle pressure).
+
+    ``common_values_k`` > 0 adds the per-column top-k (profiler.py:316-319)
+    — that is one EXTRA groupBy job per string column, so it's opt-in."""
+    from llm_tab_cleaner_spark.functions import predicates as P
+
     fields = df.schema.fields
     aggs = [F.count(F.lit(1)).alias("__n")]
+    pattern_fns = {
+        "email": P.email_valid,
+        "phone": P.phone_valid,
+        "numeric_string": P.numeric_parseable,
+        "date": P.date_format_valid,
+    }
+    str_cols = {f.name for f in fields if f.dataType.simpleString() == "string"}
     for f in fields:
         c = F.col(f.name)
         base = f.dataType.simpleString().split("(")[0]
@@ -231,6 +257,15 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> TableProfile:
             ]
         else:
             aggs += [F.min(c).alias(f"{f.name}__min"), F.max(c).alias(f"{f.name}__max")]
+        if detect_patterns and f.name in str_cols:
+            for pname, fn in pattern_fns.items():
+                # share over NON-NULL values: predicates map null→False, so a
+                # bare avg would count nulls against the pattern
+                aggs.append(
+                    F.avg(
+                        F.when(c.isNotNull(), fn(c).cast("double"))
+                    ).alias(f"{f.name}__pat_{pname}")
+                )
     row = df.agg(*aggs).collect()[0]
     n = int(row["__n"] or 0)
     dup = int(
@@ -249,8 +284,39 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> TableProfile:
             issues.append("high_null_percentage")
         if n and uniq == 1:
             issues.append("constant_column")
+        patterns: dict[str, float] = {}
+        if detect_patterns and f.dataType.simpleString() == "string":
+            for pname in ("email", "phone", "numeric_string", "date"):
+                v = row[f"{f.name}__pat_{pname}"]
+                share = round(float(v), 4) if v is not None else 0.0
+                if share > 0:
+                    patterns[pname] = share
+            # mixed-shape column: a dominant-but-not-total semantic pattern
+            # means stragglers need cleaning (profiler.py:362-381's anomaly)
+            for pname, share in patterns.items():
+                if 0.5 <= share < 1.0:
+                    issues.append(f"inconsistent_{pname}_format")
+        # suggestions mirror the reference's issue→advice strings
+        # (profiler.py:316-395's suggestion assembly)
+        suggestions = []
+        if "high_null_percentage" in issues:
+            suggestions.append("impute or drop: more than half the values are null")
+        if "constant_column" in issues:
+            suggestions.append("constant column: carries no information, consider dropping")
+        for i in issues:
+            if i.startswith("inconsistent_"):
+                suggestions.append(
+                    f"standardize {f.name}: {i.removeprefix('inconsistent_').removesuffix('_format')}"
+                    " values are mixed with other shapes"
+                )
         # quality heuristic mirrors profiler.py:447-462's weighted deductions
         quality = max(0.0, min(1.0, 1.0 - 0.5 * (null_pct / 100) - 0.1 * len(issues)))
+        common: list[tuple[object, int]] = []
+        if common_values_k and f.dataType.simpleString() == "string":
+            common = [
+                (r["value"], int(r["cnt"]))
+                for r in topk_values(df, f.name, common_values_k).collect()
+            ]
         cols[f.name] = ColumnProfile(
             name=f.name,
             data_type=base,
@@ -264,6 +330,9 @@ def profile_table(df: DataFrame, approx_distinct: bool = False) -> TableProfile:
             max_value=row[f"{f.name}__max"],
             quality_score=round(quality, 4),
             issues=issues,
+            patterns=patterns,
+            common_values=common,
+            suggestions=suggestions,
         )
         total_issues += len(issues)
     overall = (

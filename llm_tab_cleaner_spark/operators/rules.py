@@ -328,8 +328,22 @@ def apply_rules(
         F.col("fix.confidence").alias("confidence"),
         F.col("fix.original").alias("original"),
         F.col("fix.cleaned").alias("cleaned"),
+        # T24: RFC-6902 patch per fix, shaped like the reference's
+        # jsonpatch.make_patch({col: orig}, {col: new}).patch (core.py:479) —
+        # native to_json, no jsonpatch dependency
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("replace").alias("op"),
+                    F.concat(F.lit("/"), F.col("fix.column")).alias("path"),
+                    F.col("fix.cleaned").alias("value"),
+                )
+            )
+        ).alias("patch"),
     ) if audit_structs else out.sparkSession.createDataFrame(
-        [], "column string, rule_fired string, confidence double, original string, cleaned string"
+        [],
+        "column string, rule_fired string, confidence double, original string, "
+        "cleaned string, patch string",
     )
 
     for col in columns:

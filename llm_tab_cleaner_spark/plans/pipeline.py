@@ -29,6 +29,9 @@ class PipelineConfig:
     salt_buckets: int = 16
     state_dir: str | None = None  # enables incremental resume when set
     score_prefix_chars: int = 65536  # scorer UDF sees at most this prefix; 0 = full
+    # a fitted operators.calibration.Calibrator: adds confidence_calibrated
+    # (native when-chain / sigmoid, zero UDF) next to the raw confidence
+    calibrator: object | None = None
 
 
 @dataclass
@@ -67,7 +70,28 @@ class CleanPipeline:
             salt_buckets=self.config.salt_buckets,
             score_prefix_chars=self.config.score_prefix_chars,
         )
+        if self.config.calibrator is not None:
+            result = result.withColumn(
+                "confidence_calibrated",
+                F.round(self.config.calibrator.expr(F.col("confidence")), 6),
+            )
         return result
+
+    def fit_calibration(
+        self, result: DataFrame, labels: DataFrame, method: str = "isotonic"
+    ) -> "CleanPipeline":
+        """Fit a calibrator from a scored batch joined to golden labels
+        (label = the keep decision was correct) and install it on the config;
+        subsequent runs emit confidence_calibrated. Mirrors the reference's
+        fit-then-apply ConfidenceCalibrator lifecycle (confidence.py:92-154)."""
+        from llm_tab_cleaner_spark.operators.calibration import fit_calibrator
+
+        joined = result.join(labels, ["repo", "path", "commit"]).select(
+            F.col("confidence"),
+            (F.col("keep") == F.col("expected_keep")).cast("double").alias("correct"),
+        )
+        self.config.calibrator = fit_calibrator(joined, "confidence", "correct", method)
+        return self
 
     def run(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         """→ (result, audit). Lazy: caller triggers the action."""

@@ -1,7 +1,7 @@
 """IO helpers — the reference's load_file/save_file/save_report surface
 (/root/reference/src/llm_tab_cleaner/cli.py:27-101) on Spark readers/writers
-(SURVEY.md §2.1 S1-S8). Excel (S3) is intentionally out of scope — Spark has
-no native xlsx source; convert upstream.
+(SURVEY.md §2.1 S1-S8). Excel (S3) has no distributed Spark source; the
+``load_excel`` shim covers it driver-side with a row guard.
 """
 
 from __future__ import annotations
@@ -47,6 +47,42 @@ def load_table(
         if schema is None:
             options.setdefault("inferSchema", True)
     return reader.options(**options).format(fmt).load(path)
+
+
+def sample_table(df: DataFrame, rate: float, seed: int = 42) -> DataFrame:
+    """P13 (reference core.py:352-358): bounded-rate row sampling before
+    cleaning. Validates like the reference CLI (cli.py:187-189); rate 1.0 is
+    the identity (no Sample node in the plan)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sample rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    return df.sample(fraction=rate, seed=seed)
+
+
+def load_excel(
+    spark: SparkSession, path: str, max_rows: int = 1_000_000, **pandas_options
+) -> DataFrame:
+    """S3 compat shim: Excel has no distributed Spark source, so this reads
+    via pandas ON THE DRIVER (size-guarded) and parallelizes the result —
+    the long-tail path for reference users' .xlsx inputs (cli.py:37-38).
+    Requires openpyxl; raises a clear error when it's absent."""
+    try:
+        import openpyxl  # noqa: F401 — pandas' xlsx engine
+    except ImportError as e:
+        raise ImportError(
+            "load_excel needs an Excel engine (openpyxl); install it or "
+            "convert the file to csv/parquet upstream"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, **pandas_options)
+    if len(pdf) > max_rows:
+        raise ValueError(
+            f"Excel shim is driver-side only: {len(pdf)} rows > max_rows={max_rows}; "
+            "convert to parquet for distributed processing"
+        )
+    return spark.createDataFrame(pdf)
 
 
 def save_table(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite", **options) -> None:

@@ -98,6 +98,22 @@ class StateStore:
             self._write_manifest(batches + [batch_id])
         return batch_id
 
+    def running_stats(self, spark: SparkSession, per_batch: bool = False) -> DataFrame:
+        """A15 (reference incremental.py:217-237): running processing stats.
+        The reference mutates SQLite counters per batch; on an append-only
+        store the equivalent is one aggregation over the visible state rows
+        (4 narrow columns — cheap at any scale, and always consistent with
+        the manifest, unlike a counter that can drift on crash)."""
+        s = self.processed(spark)
+        keys = ["batch_id"] if per_batch else []
+        grouped = s.groupBy(*keys) if keys else s
+        return grouped.agg(
+            F.count(F.lit(1)).alias("total_processed"),
+            F.sum(F.col("keep").cast("long")).alias("total_kept"),
+            F.round(F.avg("confidence"), 4).alias("avg_confidence"),
+            F.count_distinct("batch_id").alias("n_batches"),
+        )
+
     def reprocess_low_confidence(self, spark: SparkSession, threshold: float) -> int:
         """Remove hashes below `threshold` so they re-enter the pipeline
         (incremental.py:87-121). Rewrites each batch without those rows."""

@@ -46,6 +46,43 @@ def test_calibrator_expr_matches_numpy(labeled, spark):
     np.testing.assert_allclose(got.cc.to_numpy(), want, atol=1e-12)
 
 
+def test_platt_sigmoid_improves_brier_and_matches_expr(labeled, spark):
+    from pyspark.sql import functions as F
+    from llm_tab_cleaner_spark.operators.calibration import fit_calibrator
+
+    df, pdf = labeled
+    cal = fit_calibrator(df, method="platt")
+    assert cal.method == "platt" and cal.a > 0  # monotone-increasing sigmoid
+    raw = pdf.confidence.to_numpy()
+    y = pdf.correct.to_numpy().astype(float)
+    calibrated = cal.apply_numpy(raw)
+    assert ((calibrated - y) ** 2).mean() < ((raw - y) ** 2).mean()
+    got = df.select(cal.expr(F.col("confidence")).alias("cc")).toPandas()
+    np.testing.assert_allclose(got.cc.to_numpy(), calibrated, atol=1e-9)
+
+
+def test_pipeline_calibration_wiring(spark):
+    """PipelineConfig.calibrator adds a confidence_calibrated column computed
+    by the fitted calibrator, with no extra UDF stage in the plan."""
+    from pyspark.sql import functions as F
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+    from llm_tab_cleaner_spark.fixtures.code_files import generate_code_files
+
+    cf, lab = generate_code_files(400, seed=7)
+    pipe = CleanPipeline(spark, PipelineConfig())
+    result, _ = pipe.run(spark.createDataFrame(cf))
+    pipe.fit_calibration(result, spark.createDataFrame(lab), method="isotonic")
+    assert pipe.config.calibrator is not None
+    result2 = pipe.score(spark.createDataFrame(cf))
+    out = result2.select("confidence", "confidence_calibrated").toPandas()
+    want = pipe.config.calibrator.apply_numpy(out.confidence.to_numpy())
+    np.testing.assert_allclose(out.confidence_calibrated, np.round(want, 6), atol=1e-9)
+    # still exactly ONE Arrow stage — calibration is a native when-chain
+    plan = result2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
 def test_metrics_one_pass(labeled):
     from llm_tab_cleaner_spark.operators.calibration import calibration_metrics
 

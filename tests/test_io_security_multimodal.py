@@ -113,3 +113,60 @@ def test_frame_sample_plan(spark):
     expect = sum(len(range(0, max(m["n_frames"] - 1, 0) + 1, 10)) for m in vids.meta)
     assert len(frames) == expect
     assert (frames.frame_index % 10 == 0).all()
+
+
+def test_sample_table(spark):
+    from llm_tab_cleaner_spark.sources.io import sample_table
+
+    df = spark.range(1000)
+    s1 = sample_table(df, 0.2, seed=9)
+    s2 = sample_table(df, 0.2, seed=9)
+    a, b = s1.count(), s2.count()
+    assert a == b  # same seed → deterministic
+    assert 100 < a < 320  # ~200 expected
+    assert sample_table(df, 1.0) is df  # identity, no Sample node
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sample rate"):
+        sample_table(df, 1.5)
+
+
+def test_load_excel_shim(spark, tmp_path):
+    """openpyxl isn't in this image: the shim must fail with a clear message
+    (and would parallelize a pandas frame when an engine exists)."""
+    import pytest as _pytest
+    from llm_tab_cleaner_spark.sources.io import load_excel
+
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    if not has_engine:
+        with _pytest.raises(ImportError, match="Excel engine"):
+            load_excel(spark, str(tmp_path / "x.xlsx"))
+    else:  # pragma: no cover - engine present in some environments
+        import pandas as pd
+
+        p = tmp_path / "x.xlsx"
+        pd.DataFrame({"a": [1, 2]}).to_excel(p, index=False)
+        assert load_excel(spark, str(p)).count() == 2
+
+
+def test_state_running_stats(spark, code_files_small, tmp_path):
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+    from llm_tab_cleaner_spark.sources.state import StateStore
+
+    cf, _ = code_files_small
+    pipe = CleanPipeline(spark, PipelineConfig(state_dir=str(tmp_path / "st")))
+    r1, _, _ = pipe.run_incremental(spark.createDataFrame(cf.iloc[:60]), "b1")
+    r2, _, _ = pipe.run_incremental(spark.createDataFrame(cf.iloc[:100]), "b2")
+    store = StateStore(str(tmp_path / "st"))
+    total = store.running_stats(spark).collect()[0]
+    assert total["total_processed"] == 100  # 60 + 40 fresh
+    assert total["n_batches"] == 2
+    assert 0.0 <= float(total["avg_confidence"]) <= 1.0
+    per = store.running_stats(spark, per_batch=True).toPandas().set_index("batch_id")
+    assert per.loc["b1", "total_processed"] == 60
+    assert per.loc["b2", "total_processed"] == 40
+    r1.unpersist(); r2.unpersist()

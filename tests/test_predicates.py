@@ -1,0 +1,78 @@
+"""Validity predicates P3-P6 vs the reference's per-value checks
+(core.py:541-587, profiler.py:362-381)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions import predicates as P
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    pdf = pd.DataFrame(
+        {
+            "v": [
+                "user@test.com", "a.b+c@sub.domain.org", "no-at.com", "x@y", "@test.com",
+                "(555) 123-4567", "555.987.6543", "12345", "123456789012345678", None,
+                "$75,000", "12.5%", "1,234.56", "abc", "-1000", "",
+                "1990-01-15", "12/25/1985", "12-25-1985", "Dec 3, 1988", "1992-1-5",
+            ]
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "v",
+        P.email_valid(F.col("v")).alias("email"),
+        P.phone_valid(F.col("v")).alias("phone"),
+        P.numeric_parseable(F.col("v")).alias("num"),
+        P.date_format_valid(F.col("v")).alias("date"),
+    ).toPandas().set_index("v")
+    return out
+
+
+def test_email_valid(values):
+    assert values.loc["user@test.com", "email"]
+    assert values.loc["a.b+c@sub.domain.org", "email"]
+    assert not values.loc["no-at.com", "email"]
+    assert not values.loc["x@y", "email"]        # TLD too short / missing dot
+    assert not values.loc["@test.com", "email"]  # empty local part
+
+
+def test_phone_valid(values):
+    assert values.loc["(555) 123-4567", "phone"]
+    assert values.loc["555.987.6543", "phone"]
+    assert not values.loc["12345", "phone"]                 # < 7 digits
+    assert not values.loc["123456789012345678", "phone"]    # > 15 digits
+    # reference treats digit-bearing strings uniformly: dates carry 8 digits
+    assert values.loc["1990-01-15", "phone"]
+
+
+def test_numeric_parseable(values):
+    assert values.loc["$75,000", "num"]
+    assert values.loc["12.5%", "num"]
+    assert values.loc["1,234.56", "num"]
+    assert values.loc["-1000", "num"]
+    assert not values.loc["abc", "num"]
+    assert not values.loc["", "num"]
+
+
+def test_date_format_valid(values):
+    assert values.loc["1990-01-15", "date"]
+    assert values.loc["12/25/1985", "date"]
+    assert values.loc["12-25-1985", "date"]
+    assert not values.loc["Dec 3, 1988", "date"]
+    assert not values.loc["1992-1-5", "date"]  # format check, not semantic
+
+
+def test_null_is_invalid_everywhere(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [None]}), "v string")
+    row = df.select(
+        P.email_valid(F.col("v")).alias("e"),
+        P.phone_valid(F.col("v")).alias("p"),
+        P.numeric_parseable(F.col("v")).alias("n"),
+        P.date_format_valid(F.col("v")).alias("d"),
+    ).collect()[0]
+    assert not any([row.e, row.p, row.n, row.d])

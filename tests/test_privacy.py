@@ -1,0 +1,61 @@
+"""Laplace DP noise (T20): distribution moments, determinism, native plan."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions.privacy import (
+    keyed_laplace_noise_expr,
+    laplace_noise_expr,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    pdf = pd.DataFrame({"k": [f"row_{i}" for i in range(20000)]})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "k", keyed_laplace_noise_expr(F.col("k"), sensitivity=2.0, epsilon=1.0).alias("noise")
+    ).toPandas()
+    return out
+
+
+def test_keyed_laplace_moments(keyed):
+    # Laplace(0, b=2): mean 0, var 2b² = 8, median |x| = b ln 2
+    n = keyed.noise.to_numpy()
+    assert abs(n.mean()) < 0.1
+    assert abs(n.var() - 8.0) < 0.8
+    assert abs(np.median(np.abs(n)) - 2.0 * np.log(2)) < 0.1
+
+
+def test_keyed_laplace_deterministic(spark, keyed):
+    pdf = pd.DataFrame({"k": [f"row_{i}" for i in range(100)]})
+    again = (
+        spark.createDataFrame(pdf)
+        .select("k", keyed_laplace_noise_expr(F.col("k"), 2.0, 1.0).alias("noise"))
+        .toPandas()
+        .set_index("k")
+    )
+    first = keyed.set_index("k").loc[again.index]
+    np.testing.assert_array_equal(first.noise.to_numpy(), again.noise.to_numpy())
+
+
+def test_rand_laplace_moments_and_epsilon_scaling(spark):
+    df = spark.range(20000)
+    out = df.select(
+        laplace_noise_expr(sensitivity=1.0, epsilon=1.0, seed=7).alias("n1"),
+        laplace_noise_expr(sensitivity=1.0, epsilon=4.0, seed=7).alias("n4"),
+    ).toPandas()
+    assert abs(out.n1.mean()) < 0.1
+    assert abs(out.n1.var() - 2.0) < 0.3          # var = 2b², b=1
+    assert abs(out.n4.var() - 2.0 / 16) < 0.05    # ε=4 → b=1/4 → var/16
+
+
+def test_noise_is_native_expr(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    out = df.select(keyed_laplace_noise_expr(F.col("k")).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # pure Column expression, codegen-able

@@ -64,6 +64,28 @@ def test_length_outliers(spark):
     assert out.n_chars_calc.iloc[0] == 5000
 
 
+def test_profile_table_patterns_and_suggestions(spark):
+    pdf = pd.DataFrame(
+        {
+            "email": ["a@x.com", "b@y.org", "not-an-email", None],
+            "phone": ["555-123-4567", "555.987.6543", "(555) 111-2222", "5551234567"],
+            "const": ["same"] * 4,
+        }
+    )
+    prof = profiler.profile_table(spark.createDataFrame(pdf), common_values_k=2)
+    email = prof.columns["email"]
+    assert email.patterns["email"] == round(2 / 3, 4)  # share of NON-NULL values
+    assert "inconsistent_email_format" in email.issues
+    assert any("standardize email" in s for s in email.suggestions)
+    phone = prof.columns["phone"]
+    assert phone.patterns["phone"] == 1.0
+    assert "inconsistent_phone_format" not in phone.issues  # uniform shape
+    const = prof.columns["const"]
+    assert "constant_column" in const.issues
+    assert const.common_values[0] == ("same", 4)
+    assert any("constant" in s for s in const.suggestions)
+
+
 def test_email_domains(spark):
     pdf = pd.DataFrame(
         {

@@ -85,12 +85,19 @@ def test_trim_whitespace_wins_ties(messy):
 def test_audit_shape(messy):
     res, out, pdf = messy
     a = res.audit.toPandas()
-    assert set(a.columns) == {"customer_id", "column", "rule_fired", "confidence", "original", "cleaned"}
+    assert set(a.columns) == {
+        "customer_id", "column", "rule_fired", "confidence", "original", "cleaned", "patch",
+    }
     # every audit row records a real change
     assert (a.original.fillna("§") != a.cleaned.fillna("§")).all()
     # the state fixes are attributed to the right rule
     st = a[a.column == "state"]
     assert set(st.rule_fired) <= {"state_standardization", "null_standardization"}
+    # T24: the patch column is the reference's jsonpatch shape (core.py:479)
+    import json
+
+    row = a[(a.column == "state") & (a.cleaned == "CA")].iloc[0]
+    assert json.loads(row.patch) == [{"op": "replace", "path": "/state", "value": "CA"}]
 
 
 def test_confidence_gate_blocks_low_rules(spark):
