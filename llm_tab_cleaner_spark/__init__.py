@@ -22,8 +22,11 @@ Everything in the hot path is either a native Column expression (whole-stage
 codegen) or one Arrow-batched pandas UDF — zero per-row Python.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline, PipelineConfig
 
 __all__ = ["CleanPipeline", "PipelineConfig", "__version__"]
+# Reference-compat surfaces (imported lazily by most users):
+#   compat.TableCleaner / SparkCleaner / CleaningRule / RuleSet
+#   cli.main — the llm-clean command (python -m llm_tab_cleaner_spark.cli)

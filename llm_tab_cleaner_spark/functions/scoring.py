@@ -84,12 +84,19 @@ class ScoringModel:
 
             # ONE hash pass feeds both tables: ppl bucket = h, lang bucket =
             # h & (B_LANG-1). Everything is memory-bandwidth-bound — minimize
-            # intermediates (int32/float32, strided sampling for langid).
+            # intermediates (int32/float32, strided sampling for BOTH heads).
             hp = _trigram_buckets(blob, B_PPL)
             hp_v = hp[valid]
-            bits = self.ppl_bits_table[hp_v]  # float32 gather, table in L2
-            sums = np.bincount(rows_v, weights=bits, minlength=n)
-            vcounts = np.bincount(rows_v, minlength=n).astype(np.float64)
+            # ppl over a row-local stride-2 sample: the mean bits/trigram is
+            # the same estimator on half the windows (SE ~0.1 bits on 1 KB,
+            # decision margin is 3 bits), the gather+bincount traffic halves,
+            # and row-local offsets keep it batch-composition independent
+            samp2 = loc_v % 2 == 0
+            hp_s = hp_v[samp2]
+            rows_s = rows_v[samp2]
+            bits = self.ppl_bits_table[hp_s]  # float32 gather, table in L2
+            sums = np.bincount(rows_s, weights=bits, minlength=n)
+            vcounts = np.bincount(rows_s, minlength=n).astype(np.float64)
             np.divide(sums, np.maximum(vcounts, 1.0), out=out_bits)
 
             # langid NB logits without a dense (n, B_LANG) histogram (that

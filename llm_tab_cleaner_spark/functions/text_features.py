@@ -143,7 +143,9 @@ def feature_columns(content: Column) -> dict[str, Column]:
     every expression in it (measured ~2× on the full pipeline)."""
     return {
         "n_chars": n_chars(content).alias("n_chars"),
-        "n_lines": n_lines(content).alias("n_lines"),
+        # n_lines deliberately NOT here: no drop rule consumes it, and it
+        # costs a full-content regexp_replace + split per row (profiling
+        # queries that want it call text_features.n_lines directly)
         "has_long_line": has_long_line(content).alias("has_long_line"),
         "n_tokens": n_tokens(content).alias("n_tokens"),
         "n_distinct_tokens": n_distinct_tokens(content).alias("n_distinct_tokens"),

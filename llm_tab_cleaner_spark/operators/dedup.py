@@ -184,8 +184,11 @@ def _batch_simhash(texts: pd.Series) -> np.ndarray:
     if tok_starts.size == 0:
         return out
 
-    tok_id = np.cumsum(is_start) - 1
-    off = np.arange(blob.size, dtype=np.int64) - tok_starts[tok_id]
+    # bytes before the first token start have tok_id -1 — they are
+    # whitespace by construction (their weights get zeroed), but the index
+    # must be clamped so the pows gather can't wrap or go out of bounds
+    tok_id = np.maximum(np.cumsum(is_start) - 1, 0)
+    off = np.maximum(np.arange(blob.size, dtype=np.int64) - tok_starts[tok_id], 0)
     pows = np.ones(int(off.max()) + 1, dtype=np.uint64)
     if pows.size > 1:
         np.cumprod(np.full(pows.size - 1, _POLY_P, dtype=np.uint64), out=pows[1:])

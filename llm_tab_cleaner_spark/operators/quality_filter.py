@@ -104,6 +104,18 @@ def apply_quality_filter(
     """
     model = model or default_model()
 
+    if 0 < score_prefix_chars < 1024:
+        # statistical scores need a few hundred trigrams; a tiny prefix
+        # silently changes keep/drop decisions (ROADMAP guard)
+        import warnings
+
+        warnings.warn(
+            f"score_prefix_chars={score_prefix_chars} is below 1024; language/"
+            "perplexity scores over so little text are unreliable — clamping",
+            stacklevel=2,
+        )
+        score_prefix_chars = 1024
+
     out = df.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
     if num_partitions:

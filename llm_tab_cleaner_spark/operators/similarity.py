@@ -220,16 +220,70 @@ def knn_join_blocked(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_assign(
-    df: DataFrame, id_col: str, vec_col: str, n_centroids: int = 16, dim: int = 64, seed: int = 7
-) -> DataFrame:
-    """IVF-style partition assignment against seeded random centroids
-    (deterministic stand-in for a trained codebook; the Spark plumbing —
-    broadcast codebook, argmax per batch, partition-by-cell — is the real
-    artifact)."""
+def train_ivf_codebook(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample_rows: int = 50_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train a spherical-k-means IVF codebook: bounded deterministic sample
+    collected to the driver, Lloyd iterations in numpy (assign by cosine,
+    recentre, renormalize), codebook returned for broadcast into
+    ivf_assign. At 100 TB the sample bound keeps this a constant-cost step;
+    the expensive part (assignment) stays distributed."""
+    pdf = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("v").cast("string")))  # stable pseudo-shuffle
+        .limit(sample_rows)
+        .toPandas()
+    )
+    m = np.stack(pdf["v"].to_numpy()).astype(np.float32)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = m / norms
     rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim)).astype(np.float32)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # greedy farthest-point init (k-means++-style, deterministic): random
+    # seeding can drop two centroids in one cluster and strand another
+    idx = [int(rng.integers(len(m)))]
+    for _ in range(min(n_centroids, len(m)) - 1):
+        sims = m @ m[idx].T  # (n, chosen)
+        idx.append(int(np.argmin(sims.max(axis=1))))
+    cents = m[idx].copy()
+    for _ in range(iters):
+        sims = m @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for k in range(len(cents)):
+            members = m[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[k] = c / n
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    codebook: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-style partition assignment. Pass a trained ``codebook`` (from
+    train_ivf_codebook) for real recall; without one, seeded random unit
+    centroids keep the operator deterministic and dependency-free. The
+    Spark plumbing is identical either way: broadcast codebook, one matmul
+    argmax per Arrow batch, downstream partition-by-cell."""
+    if codebook is not None:
+        cents = np.asarray(codebook, dtype=np.float32)
+    else:
+        rng = np.random.default_rng(seed)
+        cents = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     @F.pandas_udf("int")
     def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -41,6 +41,68 @@ def file_stream_source(
     )
 
 
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    content_col: str = "content",
+    timeout_minutes: int = 0,
+) -> DataFrame:
+    """Stateful streaming exact-dedup: only the FIRST row per content digest
+    (across all micro-batches) survives. The custom stateful operator the
+    reference's cache-aside loop approximates (streaming.py:286-347),
+    expressed with ``applyInPandasWithState``: state = one boolean per
+    digest, keyed by the sha-256 group, checkpointed with the query.
+
+    At 100 TB the state store holds one ~96-byte entry per DISTINCT
+    document, sharded by the groupBy key across executors; set
+    ``timeout_minutes`` > 0 to expire idle digests (bounded state) when the
+    dedup window may be finite.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in stream_df.schema.fields
+    ) + ", content_sha256 string"
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        emitted_any = state.exists and state.get[0]
+        for pdf in pdf_iter:
+            # the grouped pdf already carries content_sha256 (group key cols
+            # are included in applyInPandasWithState input)
+            if emitted_any or len(pdf) == 0:
+                continue
+            emitted_any = True
+            # min-key winner within the batch (exact_dedup's determinism);
+            # across batches, first arrival wins — streaming semantics
+            yield pdf.sort_values(key_cols, kind="stable").iloc[[0]]
+        state.update((True,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+    hashed = stream_df.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+    return (
+        hashed.groupBy("content_sha256")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def clean_stream(
     stream_df: DataFrame,
     spark: SparkSession,

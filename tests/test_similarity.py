@@ -97,3 +97,25 @@ def test_ivf_assign_deterministic(vecs):
     b = similarity.ivf_assign(df, "vec_id", "embedding", 8, 16).toPandas()
     assert (a.sort_values("vec_id").cell.values == b.sort_values("vec_id").cell.values).all()
     assert a.cell.nunique() > 1
+
+
+def test_trained_ivf_beats_random_centroids(spark):
+    """Lloyd-trained codebook: same-cluster vectors land in the same cell far
+    more often than with random hyplane centroids (clustered fixture)."""
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 3
+    rows, labels = [], []
+    for i in range(400):
+        k = i % 4
+        rows.append((i, list(map(float, centers[k] + rng.standard_normal(16) * 0.3))))
+        labels.append(k)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cb = similarity.train_ivf_codebook(df, "embedding", n_centroids=4, iters=10)
+    assert cb.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(cb, axis=1), 1.0, atol=1e-5)
+    out = similarity.ivf_assign(df, "vec_id", "embedding", codebook=cb).toPandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    out["true"] = labels
+    # purity: every true cluster maps to one dominant cell
+    purity = out.groupby("true").cell.agg(lambda s: s.value_counts().iloc[0] / len(s))
+    assert (purity > 0.95).all()

@@ -62,3 +62,51 @@ def test_stream_restart_resumes_from_checkpoint(spark, code_files_small, tmp_pat
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) == 300  # old batch NOT reprocessed (exactly-once resume)
     assert got.commit.nunique() == 300
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates inside a batch AND across
+    micro-batches are suppressed; the kept row is the min-key winner of the
+    first batch that carried the digest."""
+    from llm_tab_cleaner_spark.streaming.stream_clean import (
+        CODE_FILES_SCHEMA,
+        file_stream_source,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src, exist_ok=True)
+
+    def rows(batch, items):
+        pdf = pd.DataFrame(
+            [
+                {"repo": r, "path": p, "commit": "c0", "lang": None, "content": t}
+                for r, p, t in items
+            ]
+        )
+        spark.createDataFrame(pdf, CODE_FILES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch files land before the stream starts; maxFilesPerTrigger=1 forces
+    # multiple micro-batches over them
+    rows(0, [("r1", "b", "SAME TEXT"), ("r1", "a", "SAME TEXT"), ("r2", "x", "OTHER")])
+    rows(1, [("r3", "z", "SAME TEXT"), ("r4", "q", "THIRD")])
+
+    stream = file_stream_source(spark, src, max_files_per_trigger=1)
+    deduped = streaming_exact_dedup(stream, ["repo", "path"])
+    out_dir = str(tmp_path / "dout")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    by_text = got.set_index("content")
+    assert len(got) == 3  # one survivor per distinct text
+    assert by_text.loc["SAME TEXT", "path"] == "a"  # min-key winner in batch 0
+    assert set(got.content) == {"SAME TEXT", "OTHER", "THIRD"}
