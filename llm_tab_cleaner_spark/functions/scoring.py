@@ -35,7 +35,92 @@ B_LANG = 4096  # langid hash buckets (small: scatter-add builds n_rows × B_LANG
 B_PPL = 1 << 15  # perplexity hash buckets
 _SMOOTH_K = 0.1
 
-SCORE_SCHEMA = "lang_pred string, lang_margin double, ppl_bits double"
+SCORE_SCHEMA = (
+    "lang_pred string, lang_margin double, ppl_bits double, "
+    "n_tokens int, n_distinct_tokens int, unique_token_ratio double, "
+    "alnum_ratio double"
+)
+
+_FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_POLY_P = np.uint64(1099511628211)
+
+# per-byte class table: 1 = ASCII alnum, 2 = ASCII whitespace (Java \s set),
+# 3 = UTF-8 continuation byte (0x80-0xBF; total chars = bytes - count(3))
+_BYTE_CLS = np.zeros(256, dtype=np.int64)
+for _b in (b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"):
+    _BYTE_CLS[_b] = 1
+for _b in b" \t\n\x0b\x0c\r":
+    _BYTE_CLS[_b] = 2
+_BYTE_CLS[0x80:0xC0] = 3
+
+
+def _batch_text_stats(
+    blob: np.ndarray, lens: np.ndarray, byte_row: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n_tokens, n_distinct_tokens, unique_token_ratio, alnum_ratio) per
+    row, all from the concatenated byte blob — zero per-row Python.
+
+    Matches the native expressions char-for-char on any valid UTF-8:
+    whitespace is the ASCII Java-\\s set (multibyte chars never match), token
+    identity is byte identity, alnum is ASCII, and character counts come
+    from bytes minus UTF-8 continuation bytes. These stats used to live in
+    Column expressions, but Catalyst's predicate pushdown inlines a derived
+    `keep` into filters, re-evaluating each split/regexp 4-9× per row (the
+    round-2 plan audit); behind the ArrowEvalPython barrier they are
+    computed exactly once.
+    """
+    nt = np.zeros(n, dtype=np.int32)
+    nd = np.zeros(n, dtype=np.int32)
+    uniq = np.ones(n, dtype=np.float64)
+    alnum = np.ones(n, dtype=np.float64)
+    if blob.size == 0:
+        return nt, nd, uniq, alnum
+
+    cls = _BYTE_CLS[blob]
+    # one combined bincount: per-row counts of [other, alnum, ws, cont]
+    counts = np.bincount(byte_row * 4 + cls, minlength=4 * n).reshape(n, 4)
+    n_chars = lens - counts[:, 3]  # chars = bytes - continuation bytes
+    nonspace = n_chars - counts[:, 2]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        alnum = np.where(nonspace > 0, counts[:, 1] / np.maximum(nonspace, 1), 1.0)
+
+    ws = cls == 2
+    prev_ws = np.empty(blob.size, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    is_start = ~ws & prev_ws
+    row_starts = (np.cumsum(lens) - lens)[lens > 0]
+    is_start[row_starts] = ~ws[row_starts]
+    tok_starts = np.nonzero(is_start)[0]
+    if tok_starts.size == 0:
+        return nt, nd, uniq, alnum
+
+    tok_row = byte_row[tok_starts]
+    nt = np.bincount(tok_row, minlength=n).astype(np.int32)
+
+    # token hash: polynomial over bytes (offset-weighted), fmix64 finalizer
+    tok_id = np.maximum(np.cumsum(is_start) - 1, 0)
+    off = np.maximum(np.arange(blob.size, dtype=np.int64) - tok_starts[tok_id], 0)
+    pows = np.ones(int(off.max()) + 1, dtype=np.uint64)
+    if pows.size > 1:
+        np.cumprod(np.full(pows.size - 1, _POLY_P, dtype=np.uint64), out=pows[1:])
+    w = blob.astype(np.uint64) * pows[off]
+    w[ws] = 0
+    h = np.add.reduceat(w, tok_starts)
+    h ^= h >> np.uint64(33)
+    h *= _FMIX1
+    h ^= h >> np.uint64(33)
+    h *= _FMIX2
+    h ^= h >> np.uint64(33)
+
+    order = np.lexsort((h, tok_row))
+    hs, rs = h[order], tok_row[order]
+    first = np.ones(hs.size, dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    nd = np.bincount(rs[first], minlength=n).astype(np.int32)
+    uniq = np.where(nt > 0, nd / np.maximum(nt, 1), 1.0)
+    return nt, nd, uniq, alnum
 
 
 def _trigram_buckets(data: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -69,10 +154,12 @@ class ScoringModel:
         out_margin = np.zeros(n, dtype=np.float64)
         out_bits = np.zeros(n, dtype=np.float64)
 
+        byte_row = np.repeat(np.arange(n, dtype=np.int32), lens)
+        nt, nd, uniq, alnum = _batch_text_stats(blob, lens, byte_row, n)
+
         if blob.size >= 3:
-            # row id per byte (int32, one write/byte); a window starting at
-            # byte i is valid iff byte i and i+2 belong to the same row
-            byte_row = np.repeat(np.arange(n, dtype=np.int32), lens)
+            # a window starting at byte i is valid iff byte i and i+2
+            # belong to the same row
             row_of = byte_row[:-2]
             valid = row_of == byte_row[2:]
             rows_v = row_of[valid]
@@ -125,7 +212,15 @@ class ScoringModel:
             out_margin[scored] = margin[scored]
 
         return pd.DataFrame(
-            {"lang_pred": out_lang, "lang_margin": out_margin, "ppl_bits": out_bits}
+            {
+                "lang_pred": out_lang,
+                "lang_margin": out_margin,
+                "ppl_bits": out_bits,
+                "n_tokens": nt,
+                "n_distinct_tokens": nd,
+                "unique_token_ratio": uniq,
+                "alnum_ratio": alnum,
+            }
         )
 
 
@@ -194,12 +289,17 @@ def make_score_udf(spark: SparkSession, model: ScoringModel | None = None):
 
 
 def with_scores(df, content_col: str, spark: SparkSession, model: ScoringModel | None = None):
-    """df + (lang_pred, lang_margin, ppl_bits) from the single scorer UDF."""
+    """df + (lang_pred, lang_margin, ppl_bits, n_tokens, n_distinct_tokens,
+    unique_token_ratio, alnum_ratio) from the single scorer UDF. The text
+    stats ride the same Arrow barrier as the model scores, so downstream
+    rule references can never re-evaluate them (Catalyst inlines derived
+    predicates through filters; an ArrowEvalPython output cannot be)."""
     udf, model = make_score_udf(spark, model)
     scored = df.withColumn("_score", udf(F.col(content_col)))
-    return (
-        scored.withColumn("lang_pred", F.col("_score.lang_pred"))
-        .withColumn("lang_margin", F.col("_score.lang_margin"))
-        .withColumn("ppl_bits", F.col("_score.ppl_bits"))
-        .drop("_score")
-    ), model
+    out = scored
+    for field in (
+        "lang_pred", "lang_margin", "ppl_bits",
+        "n_tokens", "n_distinct_tokens", "unique_token_ratio", "alnum_ratio",
+    ):
+        out = out.withColumn(field, F.col(f"_score.{field}"))
+    return out.drop("_score"), model

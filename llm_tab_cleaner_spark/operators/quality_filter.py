@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from llm_tab_cleaner_spark.functions import thresholds as TH
 from llm_tab_cleaner_spark.functions import text_features as TF
 from llm_tab_cleaner_spark.functions.pii import ALL_RULES as SCRUB_RULE_SPECS
-from llm_tab_cleaner_spark.functions.pii import any_pii_expr, scrub_expr
+from llm_tab_cleaner_spark.functions.pii import any_pii_detect_expr, scrub_expr
 from llm_tab_cleaner_spark.functions.scoring import ScoringModel, default_model, with_scores
 
 KEY_COLS = ("repo", "path", "commit")
@@ -121,14 +121,24 @@ def apply_quality_filter(
     if num_partitions:
         out = salted_repartition(out, num_partitions, salt_buckets)
 
-    # native feature bundle (whole-stage codegen)
-    for name, expr in TF.feature_columns(F.col("content")).items():
-        out = out.withColumn(name, expr)
+    # cheap native features (each a single scan; whole-stage codegen). The
+    # heavy token/alnum stats come from the scorer UDF below: Catalyst's
+    # predicate pushdown inlines a derived `keep` into filters and
+    # re-evaluates every Column-expression feature 4-9× per row (round-2
+    # plan audit), but an ArrowEvalPython output is a materialized barrier.
+    content = F.col("content")
+    out = (
+        out.withColumn("n_chars", TF.n_chars(content))
+        .withColumn("has_long_line", TF.has_long_line(content))
+        .withColumn("is_nullish", TF.is_nullish(content))
+        .withColumn("is_autogen", TF.is_autogen(content))
+    )
 
-    # the ONE pandas UDF (langid + perplexity), Arrow-batched. Statistical
-    # scores stabilize within the first tens of KB, so score a bounded
-    # prefix — at 100 TB this caps Arrow transfer + UDF work per megabyte
-    # file while rules/scrub/sha still see full content. 0 disables.
+    # the ONE pandas UDF (langid + perplexity + token/alnum stats),
+    # Arrow-batched. Statistical scores stabilize within the first tens of
+    # KB, so score a bounded prefix — at 100 TB this caps Arrow transfer +
+    # UDF work per megabyte file while rules/scrub/sha still see full
+    # content (stats are then prefix-scoped too; 0 disables the cap).
     if score_prefix_chars:
         out = out.withColumn(
             "_score_text", F.substring(F.col("content"), 1, score_prefix_chars)
@@ -185,7 +195,7 @@ def apply_quality_filter(
     # scrub stage: ONE combined detection scan gates the 7-pass replace
     # chain + per-family attribution — PII-free rows (the vast majority) pay
     # a single regex pass instead of 14. Identity-equal to the ungated chain.
-    out = out.withColumn("_any_pii", any_pii_expr(F.col("content")))
+    out = out.withColumn("_any_pii", any_pii_detect_expr(F.col("content")))
     out = out.withColumn(
         "content_clean",
         F.when(F.col("_any_pii"), scrub_expr(F.col("content"))).otherwise(F.col("content")),
