@@ -394,6 +394,42 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_doc_chunks(spark, sf):
+    """Fixed-size overlapping character chunks per document (the
+    pre-tokenization shaping step) — chunk_id, start offset, md5 of chunk."""
+    d = _t(spark, sf, "documents")
+    out = TA.chunk_documents(d, "doc_id", "text", chunk_chars=200, overlap=50)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("char_start").cast("bigint").alias("char_start"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+def _q_stopword_ratio(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(TA.stopword_ratio(F.col("text")), 4).alias("stopword_ratio")
+    )
+
+
+def _q_label_centroids(spark, sf):
+    """Element-wise centroid per embedding label (posexplode + groupBy) —
+    long format (label, pos, avg_v)."""
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 4).alias("avg_v"))
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("pos").cast("bigint").alias("pos"),
+            "avg_v",
+        )
+    )
+
+
 def _q_native_rules_docs(spark, sf):
     """The rule compiler's native drop rules over documents (SQL-expressible
     subset of the quality filter — the oracle for rule semantics)."""
@@ -568,6 +604,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
+        "doc_chunks": _q_doc_chunks,
+        "stopword_ratio": _q_stopword_ratio,
+        "label_centroids": _q_label_centroids,
         "native_rules_docs": _q_native_rules_docs,
         "cosine_topk": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
@@ -587,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
 _NULLISH_LIST = ", ".join(f"'{t}'" for t in TH.NULLISH_TOKENS)
+_STOPS_SQL = ", ".join(f"'{t}'" for t in TA.STOPWORDS)
 
 
 def _dp_noise_sql() -> str:
@@ -837,6 +877,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
                    CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'), '\\s+'), t -> len(t) > 0)) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        "doc_chunks": """
+            SELECT doc_id,
+                   CAST((start_pos - 1) // 150 AS BIGINT) AS chunk_id,
+                   CAST(start_pos AS BIGINT) AS char_start,
+                   md5(substring(text, CAST(start_pos AS INT), 200)) AS chunk_md5
+            FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(len(text) - 50, 1), 150)) AS start_pos
+              FROM documents WHERE len(text) > 0
+            )
+        """,
+        "stopword_ratio": f"""
+            SELECT doc_id,
+                   round(CASE WHEN len({_TOKS}) > 0
+                         THEN len(list_filter({_TOKS}, t -> lower(t) IN ({_STOPS_SQL}))) * 1.0 / len({_TOKS})
+                         ELSE 0.0 END, 4) AS stopword_ratio
+            FROM documents
+        """,
+        "label_centroids": """
+            WITH x AS (
+              SELECT label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+                   round(avg(embedding[i]::DOUBLE), 4) AS avg_v
+            FROM x GROUP BY 1, 2
         """,
         "native_rules_docs": f"""
             SELECT doc_id, round({drop_conf}, 4) AS drop_confidence,

@@ -76,6 +76,61 @@ def rolling_hash_fingerprints(col: Column, n: int = 8, keep_mod: int = 16) -> Co
     )
 
 
+# tiny default stopword list (deterministic; callers pass their own for
+# real lexicons — this is the operator, not the linguistics)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that",
+)
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Share of whitespace tokens that are stopwords — the classic quality
+    signal (too low → code/garbage, mid-range → prose). Not hot-path: uses a
+    lambda HOF, fine for analysis queries (the quality-filter projection
+    stays lambda-free per CLAUDE.md)."""
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    stops = F.filter(toks, lambda t: F.lower(t).isin(*stopwords))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> DataFrame:
+    """Split long documents into fixed-size character chunks with overlap —
+    the standard pre-tokenization shaping step in a training-data pipeline.
+    Fully native (sequence + posexplode + substring): one row per chunk with
+    (doc id, chunk_id, char_start, chunk text). Chunks start every
+    ``chunk_chars - overlap`` characters while text remains; a document
+    shorter than one chunk yields exactly one chunk. At 100 TB this is a
+    pure map operation — no shuffle, parallel with the scan."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    c = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(c) - overlap, F.lit(1)), F.lit(step)
+    )
+    return (
+        df.filter(F.length(c) > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_id", "char_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            "char_start",
+            F.substring(F.col(text_col), F.col("char_start"), chunk_chars).alias("chunk"),
+        )
+    )
+
+
 def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document stat bundle."""
     c = F.col(text_col)

@@ -150,3 +150,40 @@ def test_char_ngrams_short_strings_empty(spark):
     assert list(out.loc[1, "grams"]) == []  # shorter than n → no bogus grams
     assert list(out.loc[2, "grams"]) == ["abcde"]
     assert list(out.loc[1, "fps"]) == [] and list(out.loc[3, "fps"]) == []
+
+
+def test_chunk_documents(spark):
+    from llm_tab_cleaner_spark.operators import text_analysis as TA
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a" * 450, "short", ""]})
+    out = TA.chunk_documents(
+        spark.createDataFrame(pdf), "doc_id", "text", chunk_chars=200, overlap=50
+    ).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # starts: 1, 151, 301 (step 150, while start <= len-overlap=400)
+    assert list(d1.char_start) == [1, 151, 301]
+    assert [len(c) for c in d1.chunk] == [200, 200, 150]
+    # overlap: chunk k's last 50 chars == chunk k+1's first 50
+    assert d1.chunk.iloc[0][-50:] == d1.chunk.iloc[1][:50]
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.chunk.iloc[0] == "short"
+    assert (out.doc_id != 3).all()  # empty doc yields nothing
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        TA.chunk_documents(spark.createDataFrame(pdf), "doc_id", "text", 100, 100)
+
+
+def test_stopword_ratio(spark):
+    from pyspark.sql import functions as F
+    from llm_tab_cleaner_spark.operators import text_analysis as TA
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["the cat and the dog", "xyzzy qwerty", ""]})
+    out = (
+        spark.createDataFrame(pdf)
+        .select("doc_id", TA.stopword_ratio(F.col("text")).alias("r"))
+        .toPandas().set_index("doc_id")
+    )
+    assert out.loc[1, "r"] == 0.6  # the, and, the of 5 tokens
+    assert out.loc[2, "r"] == 0.0
+    assert out.loc[3, "r"] == 0.0
