@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# dev convenience: running the file directly (no --py-files) finds the repo
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -44,9 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("quality_filter").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    # default: shuffle-free linear plan (scan splits distribute the work —
+    # a forced full-corpus repartition is the shuffle you don't want at
+    # scale); pass --partitions to opt into the salted repartition for
+    # skewed/few-file sources
     cfg = PipelineConfig(
         confidence_threshold=args.threshold if args.threshold is not None else TH.CONF_THRESHOLD,
-        num_partitions=args.partitions or spark.sparkContext.defaultParallelism * 2,
+        num_partitions=args.partitions,
         salt_buckets=args.salt_buckets,
         state_dir=args.state,
     )
