@@ -365,6 +365,18 @@ def _q_exact_dedup_prefix(spark, sf):
     )
 
 
+def _q_exact_dedup_docs(spark, sf):
+    """Full exact dedup operator (sha-256 groupBy, min-key winner) over the
+    documents table — the operator-level twin of exact_dedup_prefix."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    out = dedup.exact_dedup(d, ["doc_id"], "text")
+    return out.select(
+        "doc_id", "content_digest", F.col("copies").cast("bigint").alias("copies")
+    )
+
+
 def _q_token_topk(spark, sf):
     d = _t(spark, sf, "documents")
     toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0)
@@ -601,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
+        "exact_dedup_docs": _q_exact_dedup_docs,
         "token_topk": _q_token_topk,
         "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
@@ -862,6 +875,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(array_to_string(list_slice({_TOKS}, 1, 3), ' ')) AS prefix_md5,
                    min(doc_id) AS keeper, count(*) AS copies
             FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id, sha256(text) AS content_digest,
+                   count(*) AS copies
+            FROM documents GROUP BY sha256(text)
         """,
         "token_topk": f"""
             SELECT token, count(*) AS cnt FROM (

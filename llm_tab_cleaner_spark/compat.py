@@ -90,6 +90,177 @@ class TableCleaner:
 
 
 @dataclass
+class Fix:
+    """Reference Fix record (core.py:178-188). In a distributed engine fixes
+    live in the long-format audit DataFrame; this dataclass is the driver-side
+    row shape for users who iterate reports. ``row_index`` is None — row
+    positions are not a distributed concept; key columns identify the row."""
+
+    column: str
+    row_index: int | None
+    original: object
+    cleaned: object
+    confidence: float
+    reasoning: str | None = None
+    rule_applied: str | None = None
+
+
+def fixes_from_audit(audit_df: DataFrame, limit: int = 1000) -> list[Fix]:
+    """Materialize audit rows as reference-shaped Fix records (bounded —
+    at corpus scale read the audit table instead)."""
+    rows = audit_df.limit(limit).collect()
+    return [
+        Fix(
+            column=r["column"],
+            row_index=None,
+            original=r["original"],
+            cleaned=r["cleaned"],
+            confidence=float(r["confidence"]),
+            rule_applied=r["rule_fired"],
+        )
+        for r in rows
+    ]
+
+
+def create_custom_rule(
+    name: str,
+    description: str,
+    cleaning_function,
+    column_patterns: list[str] | None = None,
+    data_types: list[str] | None = None,
+    confidence: float = 0.8,
+) -> CleaningRule:
+    """Reference helper (cleaning_rule.py:317-333), kwargs-compatible."""
+    return CleaningRule(
+        name=name,
+        description=description,
+        function=cleaning_function,
+        column_patterns=tuple(column_patterns or ()),
+        data_types=tuple(data_types or ()),
+        confidence=confidence,
+    )
+
+
+class ConfidenceCalibrator:
+    """Reference ConfidenceCalibrator (confidence.py:36-265) surface:
+    fit(predictions, labels) / calibrate(values), methods isotonic /
+    sigmoid (Platt) / histogram — backed by the engine's pure-numpy fits;
+    ``expr(col)`` additionally compiles the fitted calibrator to a native
+    Column for distributed application (PipelineConfig.calibrator)."""
+
+    def __init__(self, method: str = "isotonic", n_bins: int = 10):
+        self.method = {"sigmoid": "platt"}.get(method, method)
+        self.n_bins = n_bins
+        self._cal = None
+        self.is_fitted = False
+
+    def fit(self, predictions, true_labels) -> "ConfidenceCalibrator":
+        import numpy as np
+
+        from llm_tab_cleaner_spark.operators.calibration import (
+            Calibrator,
+            _fit_platt,
+            _pava,
+        )
+
+        conf = np.asarray(list(predictions), dtype=np.float64)
+        label = np.asarray(list(true_labels), dtype=np.float64)
+        if self.method == "isotonic":
+            bps, vals = _pava(conf, label)
+            self._cal = Calibrator("isotonic", bps, vals)
+        elif self.method == "platt":
+            a, b = _fit_platt(conf, label)
+            self._cal = Calibrator("platt", np.array([0.0]), np.array([np.nan]), a=a, b=b)
+        elif self.method == "histogram":
+            edges = np.linspace(0.0, 1.0, self.n_bins + 1)
+            idx = np.clip(np.digitize(conf, edges) - 1, 0, self.n_bins - 1)
+            vals = np.array(
+                [
+                    label[idx == b].mean() if (idx == b).any() else (edges[b] + edges[b + 1]) / 2
+                    for b in range(self.n_bins)
+                ]
+            )
+            self._cal = Calibrator("histogram", edges[:-1], vals)
+        else:
+            raise ValueError(f"unknown method: {self.method!r}")
+        self.is_fitted = True
+        return self
+
+    def calibrate(self, confidences):
+        import numpy as np
+
+        if not self.is_fitted:
+            raise RuntimeError("fit() before calibrate()")
+        return self._cal.apply_numpy(np.asarray(list(confidences), dtype=np.float64))
+
+    def expr(self, conf_col):
+        if not self.is_fitted:
+            raise RuntimeError("fit() before expr()")
+        return self._cal.expr(conf_col)
+
+
+class DataProfiler:
+    """Reference DataProfiler (profiler.py:90-132) surface over the
+    distributed profiler: profile_table returns the engine's TableProfile
+    (two jobs total; the reference loops per column in pandas)."""
+
+    def __init__(self, detect_patterns: bool = True, common_values_k: int = 0):
+        self.detect_patterns = detect_patterns
+        self.common_values_k = common_values_k
+
+    def profile_table(self, df: DataFrame):
+        from llm_tab_cleaner_spark.operators.profiler import profile_table
+
+        return profile_table(
+            df,
+            detect_patterns=self.detect_patterns,
+            common_values_k=self.common_values_k,
+        )
+
+    def profile_column(self, df: DataFrame, column: str):
+        return self.profile_table(df.select(column)).columns[column]
+
+
+class IncrementalCleaner:
+    """Reference IncrementalCleaner (incremental.py:20-123) surface over the
+    state-store pipeline: process_increment anti-joins away processed rows
+    and commits atomically; reprocess_low_confidence re-opens low-confidence
+    hashes; get_statistics mirrors the running stats table."""
+
+    def __init__(self, state_path: str, spark=None, config: "PipelineConfig | None" = None):
+        from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline, PipelineConfig
+
+        if spark is None:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise ValueError("no active SparkSession; pass spark=")
+        cfg = config or PipelineConfig()
+        cfg.state_dir = state_path
+        self.spark = spark
+        self.pipeline = CleanPipeline(spark, cfg)
+
+    def process_increment(self, df: DataFrame, batch_id: str | None = None):
+        result, audit, committed = self.pipeline.run_incremental(df, batch_id)
+        report = self.pipeline.report(result)
+        result.unpersist()
+        return result, report
+
+    def reprocess_low_confidence(self, confidence_threshold: float) -> int:
+        return self.pipeline.state.reprocess_low_confidence(self.spark, confidence_threshold)
+
+    def get_statistics(self) -> dict:
+        row = self.pipeline.state.running_stats(self.spark).collect()[0]
+        return {
+            "total_processed": int(row["total_processed"] or 0),
+            "total_kept": int(row["total_kept"] or 0),
+            "avg_confidence": float(row["avg_confidence"] or 0.0),
+            "n_batches": int(row["n_batches"] or 0),
+        }
+
+
+@dataclass
 class SparkCleaner:
     """Distributed file-cleaning surface (spark.py:40-156): the quality-filter
     pipeline behind the reference's clean_distributed signature."""

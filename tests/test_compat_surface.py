@@ -1,0 +1,91 @@
+"""Reference import-surface compat: every name a llm-tab-cleaner user
+imports (reference __init__.py:3-8) resolves here with the same call shapes
+— TableCleaner, SparkCleaner, CleaningRule/RuleSet/create_default_rules/
+create_custom_rule, ConfidenceCalibrator, DataProfiler, IncrementalCleaner,
+Fix."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.compat import (
+    CleaningRule,
+    ConfidenceCalibrator,
+    DataProfiler,
+    Fix,
+    IncrementalCleaner,
+    RuleSet,
+    SparkCleaner,
+    TableCleaner,
+    create_custom_rule,
+    create_default_rules,
+    fixes_from_audit,
+)
+
+
+def test_reference_names_importable():
+    for obj in (TableCleaner, SparkCleaner, CleaningRule, RuleSet,
+                create_default_rules, create_custom_rule,
+                ConfidenceCalibrator, DataProfiler, IncrementalCleaner, Fix):
+        assert obj is not None
+
+
+def test_create_custom_rule_shape(spark):
+    rule = create_custom_rule(
+        name="shout", description="upper", cleaning_function=lambda v: (v.upper(), 0.9),
+        column_patterns=["name"], confidence=0.88,
+    )
+    out, report = TableCleaner(rules=[rule]).clean(
+        spark.createDataFrame(pd.DataFrame({"name": ["bob", "ANN"]}))
+    )
+    assert list(out.toPandas().name) == ["BOB", "ANN"]
+    assert report.rule_counts.get("shout") == 1  # 'ANN' unchanged → no fix
+
+
+def test_confidence_calibrator_reference_lifecycle():
+    rng = np.random.default_rng(3)
+    conf = rng.uniform(0.05, 0.95, 2000)
+    labels = (rng.uniform(size=2000) < conf**2).astype(float)
+    for method in ("isotonic", "sigmoid", "histogram"):
+        cal = ConfidenceCalibrator(method=method).fit(conf, labels)
+        out = cal.calibrate(conf)
+        assert ((out >= 0) & (out <= 1)).all()
+        brier_raw = ((conf - labels) ** 2).mean()
+        assert ((out - labels) ** 2).mean() < brier_raw
+    with pytest.raises(RuntimeError):
+        ConfidenceCalibrator().calibrate([0.5])
+
+
+def test_data_profiler_surface(spark):
+    pdf = pd.DataFrame({"email": ["a@x.com", "b@y.org", None], "n": [1.0, 2.0, 3.0]})
+    prof = DataProfiler().profile_table(spark.createDataFrame(pdf))
+    assert prof.row_count == 3
+    col = DataProfiler().profile_column(spark.createDataFrame(pdf), "email")
+    assert col.null_count == 1
+    assert col.patterns.get("email") == 1.0
+
+
+def test_incremental_cleaner_surface(spark, code_files_small, tmp_path):
+    cf, _ = code_files_small
+    inc = IncrementalCleaner(str(tmp_path / "state"), spark=spark)
+    _, report1 = inc.process_increment(spark.createDataFrame(cf.iloc[:60]), "b1")
+    assert report1.total_files == 60
+    _, report2 = inc.process_increment(spark.createDataFrame(cf.iloc[:100]), "b2")
+    assert report2.total_files == 40  # only the fresh rows
+    stats = inc.get_statistics()
+    assert stats["total_processed"] == 100 and stats["n_batches"] == 2
+    reopened = inc.reprocess_low_confidence(1.01)  # everything < 1.01 re-opens
+    assert reopened == 100
+
+
+def test_fixes_from_audit(spark):
+    cleaner = TableCleaner()
+    cleaner.clean(spark.createDataFrame(pd.DataFrame({"state": ["california", "TX"]})))
+    fixes = fixes_from_audit(cleaner.last_audit)
+    assert len(fixes) == 1
+    f = fixes[0]
+    assert isinstance(f, Fix) and f.column == "state"
+    assert f.original == "california" and f.cleaned == "CA"
+    assert f.rule_applied == "state_standardization"
