@@ -193,6 +193,44 @@ def _q_event_windows(spark, sf):
     )
 
 
+def _q_event_sessions(spark, sf):
+    """Sessionization: per-user sessions split on >30-minute gaps (lag +
+    running sum over a window — the classic event-stream shape), then one
+    row per session with its event count and span."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn("session_id", F.sum(new_s).over(w))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long")))
+            .cast("bigint")
+            .alias("span_seconds"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events", "session_start", "span_seconds",
+        )
+    )
+
+
+def _q_value_quantiles(spark, sf):
+    """Exact per-group quantiles (p25/p50/p75 of value per event type) —
+    the interpolated percentile, matching DuckDB's quantile_cont."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+
+
 def _q_corr_price_qty(spark, sf):
     li = _t(spark, sf, "lineitem")
     return profiler.correlation(li, "l_extendedprice", "l_quantity")
@@ -598,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_outliers": _q_price_outliers,
         "event_bins": _q_event_bins,
         "event_windows": _q_event_windows,
+        "event_sessions": _q_event_sessions,
+        "value_quantiles": _q_value_quantiles,
         "corr_price_qty": _q_corr_price_qty,
         "corr_matrix": _q_corr_matrix,
         "profile_orders": _q_profile_orders,
@@ -762,6 +802,38 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS cnt,
                    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            -- floor(epoch(ts)) everywhere: Spark's timestamp->long cast
+            -- TRUNCATES fractional seconds; DuckDB's epoch() keeps them
+            WITH g AS (
+              SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                     CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                                 OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, sec,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   CAST(max(sec) - min(sec) AS BIGINT) AS span_seconds
+            FROM s GROUP BY user_id, session_id
+        """,
+        "value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   count(*) AS cnt
+            FROM events GROUP BY event_type
         """,
         "corr_price_qty": """
             SELECT round(corr(l_extendedprice, l_quantity), 4) AS corr_value FROM lineitem
