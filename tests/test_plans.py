@@ -26,6 +26,33 @@ def test_single_arrow_stage_no_python_udfs(spark, code_files_small):
     assert "lambdafunction" not in plan
 
 
+def test_keep_filter_has_no_heavy_expression_duplication(spark, tmp_path):
+    """Round-2 regression guard: filtering on `keep` must NOT re-evaluate
+    heavy text expressions — Catalyst's predicate pushdown inlines derived
+    predicates in terms of base columns, and with Column-expression features
+    the executed Filter contained split(ws_strip(content)) 6+ times per row
+    (~3× the whole pipeline's cost). The token/alnum stats now come from the
+    scorer UDF (an ArrowEvalPython output cannot be inlined), so the
+    optimized keep-count plan must contain ZERO split/array_distinct and at
+    most the two cheap single-scan regex features."""
+    import re as _re
+
+    from llm_tab_cleaner_spark import CleanPipeline
+    from llm_tab_cleaner_spark.fixtures.code_files import write_fixture
+
+    cf_path, _ = write_fixture(str(tmp_path / "fxp"), 300)
+    df = spark.read.parquet(cf_path)
+    result, _ = CleanPipeline(spark).run(df)
+    q = result.filter("keep").groupBy().count()
+    plan = q._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 0, plan[:2000]
+    assert plan.count("array_distinct") == 0
+    # the remaining regexes are the cheap gates: nullish strip (×2 refs:
+    # nullish rule + short rule) and nothing heavier
+    assert plan.count("regexp_replace") <= 4, plan[:2000]
+    assert "ArrowEvalPython" in plan or "score_udf" in plan
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path):
     from llm_tab_cleaner_spark.fixtures.code_files import write_fixture
 
