@@ -338,6 +338,31 @@ def _q_email_domains(spark, sf):
     )
 
 
+def _q_rare_brands(spark, sf):
+    """A9: categorical values rarer than 3.5% of rows (broadcast-total
+    two-stage filter)."""
+    part = _t(spark, sf, "part")
+    return profiler.rare_categories(part, "p_brand", 0.035).select(
+        F.col("value").alias("p_brand"), F.col("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def _q_calibration_bins(spark, sf):
+    """A17: reliability bins over a synthesized (confidence, label) pair —
+    conf = discount scaled to [0,1], label = quantity above its midpoint.
+    Exercises the binning aggregation with a SQL-expressible fixture."""
+    li = _t(spark, sf, "lineitem")
+    labeled = li.select(
+        F.least(F.col("l_discount") * 10, F.lit(0.999)).alias("conf"),
+        (F.col("l_quantity") > 25).cast("double").alias("label"),
+    )
+    return profiler.calibration_bins(labeled, "conf", "label", 10).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "avg_conf", "avg_label",
+    )
+
+
 def _q_topk_parts(spark, sf):
     li = _t(spark, sf, "lineitem")
     return profiler.topk_values(li, "l_partkey", 10).select(
@@ -647,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
         "topk_parts": _q_topk_parts,
+        "rare_brands": _q_rare_brands,
+        "calibration_bins": _q_calibration_bins,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
         "doc_stats": _q_doc_stats,
         "short_docs": _q_short_docs,
@@ -914,6 +941,27 @@ def oracle_sql() -> dict[str, str]:
         "topk_parts": """
             SELECT l_partkey, count(*) AS cnt FROM lineitem
             GROUP BY l_partkey ORDER BY cnt DESC, l_partkey ASC LIMIT 10
+        """,
+        "rare_brands": """
+            -- CAST matters: DuckDB parses 0.035 as DECIMAL (exact 7.000 at
+            -- total=200) while Spark's lit is a double (7.000000000000001);
+            -- counts sitting exactly on the boundary diverge otherwise
+            WITH t AS (SELECT count(*) AS total FROM part)
+            SELECT p_brand, count(*) AS cnt
+            FROM part, t GROUP BY p_brand, total
+            HAVING count(*) < total * CAST(0.035 AS DOUBLE)
+        """,
+        "calibration_bins": """
+            WITH labeled AS (
+              SELECT least(l_discount * 10, 0.999) AS conf,
+                     CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS label
+              FROM lineitem
+            )
+            SELECT CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
+                   count(*) AS cnt,
+                   round(avg(conf), 4) AS avg_conf,
+                   round(avg(label), 4) AS avg_label
+            FROM labeled GROUP BY 1
         """,
         "fk_lineitem_orders": """
             SELECT count(*) AS missing_count FROM (
