@@ -597,10 +597,14 @@ def _q_knn_blocked(spark, sf):
 
 def _q_minhash_pairs(spark, sf):
     d = _t(spark, sf, "documents")
-    # persist: the banding self-join + estimate reference the signature frame
-    # 4×, and without a cache each branch replays the scan + signature UDF
-    # (at corpus scale you'd write signatures to a table instead)
-    sigs = dedup.minhash_signatures(d, ["doc_id"], "text", num_hashes=64, shingle_k=5).persist()
+    # localCheckpoint: the banding self-join + estimate reference the
+    # signature frame 4×, and without materialization each branch replays
+    # the scan + signature UDF. persist() would leak in the CacheManager
+    # until unpersist; checkpoint blocks free with the result frame
+    # (at corpus scale you'd write signatures to a table instead).
+    sigs = dedup.minhash_signatures(
+        d, ["doc_id"], "text", num_hashes=64, shingle_k=5
+    ).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16)
     return dedup.minhash_jaccard_estimate(pairs, sigs, "doc_id").select(
         "doc_id_a", "doc_id_b", "jaccard_est"
@@ -630,10 +634,15 @@ def _q_quality_filter_docs(spark, sf):
 
 def _q_embedding_near_dup(spark, sf):
     """Banded-LSH candidates + exact-cosine verification (the scale path);
-    the DuckDB oracle is the brute-force O(N²) twin — equality means the
-    LSH recall is 1.0 on this input (verified at sf0.001/sf0.01)."""
+    the DuckDB oracle is the brute-force O(N²) twin. The banding is sized
+    for the query's own operating point (b=32, r=6 → P[miss] ≈ 9e-5 per
+    pair AT cos=0.8, vanishing above it), so oracle equality is expected at
+    any SF/seed — not an artifact of the fixture having no
+    threshold-adjacent pairs (round-2 ADVICE)."""
     e = _t(spark, sf, "embeddings")
-    return dedup.embedding_near_dup_pairs(e, "vec_id", "embedding", min_cosine=0.8).select(
+    return dedup.embedding_near_dup_pairs(
+        e, "vec_id", "embedding", min_cosine=0.8, bands=32, planes_per_band=6
+    ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),
         "cosine",

@@ -242,9 +242,15 @@ class IncrementalCleaner:
         self.pipeline = CleanPipeline(spark, cfg)
 
     def process_increment(self, df: DataFrame, batch_id: str | None = None):
+        """→ (result, report). ``result`` is returned STILL PERSISTED (the
+        run_incremental caller-owns-cache contract): write/collect what you
+        need from it, then call ``result.unpersist()`` — unpersisting here
+        would force every caller action to recompute the full scored plan.
+        The batch's audit frame is kept on ``self.last_audit``."""
         result, audit, committed = self.pipeline.run_incremental(df, batch_id)
         report = self.pipeline.report(result)
-        result.unpersist()
+        self.last_audit = audit
+        self.last_batch_id = committed
         return result, report
 
     def reprocess_low_confidence(self, confidence_threshold: float) -> int:

@@ -138,7 +138,10 @@ def apply_quality_filter(
     # Arrow-batched. Statistical scores stabilize within the first tens of
     # KB, so score a bounded prefix — at 100 TB this caps Arrow transfer +
     # UDF work per megabyte file while rules/scrub/sha still see full
-    # content (stats are then prefix-scoped too; 0 disables the cap).
+    # content. DOCUMENTED SEMANTICS (PipelineConfig.score_prefix_chars,
+    # README): the token/alnum stats feeding excessive_repetition and
+    # low_alnum_ratio are prefix-scoped too for files larger than the
+    # prefix; 0 disables the cap and scores full content.
     if score_prefix_chars:
         out = out.withColumn(
             "_score_text", F.substring(F.col("content"), 1, score_prefix_chars)

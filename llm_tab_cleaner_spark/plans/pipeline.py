@@ -28,7 +28,16 @@ class PipelineConfig:
     num_partitions: int | None = None  # None → let AQE decide (no extra shuffle)
     salt_buckets: int = 16
     state_dir: str | None = None  # enables incremental resume when set
-    score_prefix_chars: int = 65536  # scorer UDF sees at most this prefix; 0 = full
+    # The scorer UDF sees at most this content prefix; 0 = full content.
+    # PREFIX-SCOPED SEMANTICS (deliberate, round-2 ADVICE surfaced): langid,
+    # perplexity AND the token stats (n_tokens, n_distinct_tokens,
+    # unique_token_ratio, alnum_ratio) all come from this prefix, so the
+    # excessive_repetition / low-alnum keep/drop rules for files LARGER than
+    # the prefix judge the first 64 KiB, not the whole file (short_content
+    # cannot misfire: any file over the prefix has far more than 10 tokens).
+    # At 100 TB this caps Arrow transfer + UDF work per megabyte file; set 0
+    # to score full content when whole-file stats matter more than cost.
+    score_prefix_chars: int = 65536
     # a fitted operators.calibration.Calibrator: adds confidence_calibrated
     # (native when-chain / sigmoid, zero UDF) next to the raw confidence
     calibrator: object | None = None

@@ -68,19 +68,33 @@ def streaming_exact_dedup(
     state_schema = "seen boolean"
 
     def dedup_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
         if state.hasTimedOut:
             state.remove()
             return
-        emitted_any = state.exists and state.get[0]
+        seen_before = state.exists and state.get[0]
+        # min-key winner within the MICRO-BATCH (exact_dedup's determinism);
+        # across batches, first arrival wins. A group's batch data can span
+        # several Arrow chunks (> arrow.maxRecordsPerBatch rows), so the
+        # running min is tracked across the WHOLE iterator and emitted once —
+        # yielding from the first non-empty chunk would make the survivor
+        # depend on chunk composition (batch-order-invariance rule).
+        best = None
         for pdf in pdf_iter:
-            # the grouped pdf already carries content_sha256 (group key cols
-            # are included in applyInPandasWithState input)
-            if emitted_any or len(pdf) == 0:
+            if seen_before or len(pdf) == 0:
                 continue
-            emitted_any = True
-            # min-key winner within the batch (exact_dedup's determinism);
-            # across batches, first arrival wins — streaming semantics
-            yield pdf.sort_values(key_cols, kind="stable").iloc[[0]]
+            local = pdf.sort_values(key_cols, kind="stable").iloc[[0]]
+            if best is None:
+                best = local
+            else:
+                best = (
+                    pd.concat([best, local], ignore_index=True)
+                    .sort_values(key_cols, kind="stable")
+                    .iloc[[0]]
+                )
+        if best is not None:
+            yield best
         state.update((True,))
         if timeout_minutes:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)

@@ -70,9 +70,14 @@ def test_data_profiler_surface(spark):
 def test_incremental_cleaner_surface(spark, code_files_small, tmp_path):
     cf, _ = code_files_small
     inc = IncrementalCleaner(str(tmp_path / "state"), spark=spark)
-    _, report1 = inc.process_increment(spark.createDataFrame(cf.iloc[:60]), "b1")
+    res1, report1 = inc.process_increment(spark.createDataFrame(cf.iloc[:60]), "b1")
     assert report1.total_files == 60
-    _, report2 = inc.process_increment(spark.createDataFrame(cf.iloc[:100]), "b2")
+    # result comes back still persisted (caller-owns-cache) + audit exposed
+    assert res1.storageLevel.useMemory
+    assert inc.last_audit is not None
+    res1.unpersist()
+    res2, report2 = inc.process_increment(spark.createDataFrame(cf.iloc[:100]), "b2")
+    res2.unpersist()
     assert report2.total_files == 40  # only the fresh rows
     stats = inc.get_statistics()
     assert stats["total_processed"] == 100 and stats["n_batches"] == 2

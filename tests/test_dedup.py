@@ -126,6 +126,52 @@ def test_embedding_near_dup_lsh_matches_brute(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan[:1500]
 
 
+def test_degenerate_docs_dont_blow_up_banding(spark):
+    """1k empty/whitespace-only docs must NOT form a quadratic (band, bucket)
+    reducer (round-2 VERDICT #3): they get NULL minhash / zero simhash
+    signatures and are excluded from banding (exact-dup material), so the
+    candidate-pair count stays linear while real near-dups are still found."""
+    n_empty = 1000
+    rows = [(i, "" if i % 4 else "   ") for i in range(n_empty)]
+    # distinct docs — no token shared between any two
+    rows += [
+        (2000 + i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(100)
+    ]
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows += [(5000, base), (5001, base.replace("today", "again"))]
+    rows += [(6000, base + " twin"), (6001, base + " twin")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    sigs = dedup.minhash_signatures(df, ["doc_id"], "text", 64, 5)
+    assert sigs.filter("minhash IS NULL").count() == n_empty
+    pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16).toPandas()
+    assert not ((pairs.doc_id_a < n_empty) | (pairs.doc_id_b < n_empty)).any()
+    assert len(pairs) < 50  # linear, not the ~500k an empty-doc bucket makes
+    assert (5000, 5001) in set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].values))
+
+    sims = dedup.simhash_signatures(df, ["doc_id"], "text")
+    spairs = dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=6).toPandas()
+    assert not ((spairs.doc_id_a < n_empty) | (spairs.doc_id_b < n_empty)).any()
+    # identical pair (hamming 0 — banding-guaranteed) survives the guards
+    assert (6000, 6001) in set(map(tuple, spairs[["doc_id_a", "doc_id_b"]].values))
+
+
+def test_banding_bucket_cap_drops_giant_clusters(spark):
+    """A (band, bucket) bigger than max_bucket_size is dropped before the
+    self-join — a 300-identical-doc cluster yields ZERO candidate pairs at
+    cap 100 (it is exact-dup material), while unrelated near-dups survive."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, "identical cluster content shared by every doc here") for i in range(300)]
+    rows += [(1000, base), (1001, base.replace("today", "again"))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = dedup.minhash_signatures(df, ["doc_id"], "text", 64, 5)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, ["doc_id"], 64, 16, max_bucket_size=100
+    ).toPandas()
+    assert not ((pairs.doc_id_a < 300) | (pairs.doc_id_b < 300)).any()
+    assert (1000, 1001) in set(map(tuple, pairs[["doc_id_a", "doc_id_b"]].values))
+
+
 def test_ngram_jaccard_short_docs_dont_crash(spark):
     # docs with fewer than n tokens used to hit sequence(1, 0) → [1, 0] →
     # slice(toks, 0, 3) → SparkRuntimeException; they must just yield no grams

@@ -110,3 +110,47 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert len(got) == 3  # one survivor per distinct text
     assert by_text.loc["SAME TEXT", "path"] == "a"  # min-key winner in batch 0
     assert set(got.content) == {"SAME TEXT", "OTHER", "THIRD"}
+
+
+def test_streaming_dedup_chunk_composition_invariance(spark, tmp_path):
+    """A group whose micro-batch data spans several Arrow chunks must still
+    emit the GLOBAL min-key winner, not the first chunk's local min (round-2
+    ADVICE: the survivor must not depend on arrow.maxRecordsPerBatch)."""
+    from llm_tab_cleaner_spark.streaming.stream_clean import (
+        CODE_FILES_SCHEMA,
+        file_stream_source,
+        streaming_exact_dedup,
+    )
+
+    src = str(tmp_path / "csrc")
+    os.makedirs(src, exist_ok=True)
+    # 6 identical-content rows, paths DESCENDING so the min key ("p4") sits
+    # in the LAST chunk when chunks are 2 rows wide
+    pdf = pd.DataFrame(
+        [
+            {"repo": "r", "path": f"p{9 - i}", "commit": "c", "lang": None, "content": "S"}
+            for i in range(6)
+        ]
+    )
+    spark.createDataFrame(pdf, CODE_FILES_SCHEMA).coalesce(1).write.parquet(src, mode="append")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        deduped = streaming_exact_dedup(file_stream_source(spark, src), ["repo", "path"])
+        out_dir = str(tmp_path / "cout")
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "cckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(key, old)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 1
+    assert got.path.iloc[0] == "p4"  # global min across all chunks
