@@ -165,7 +165,8 @@ class CleaningRule:
     Semantics follow CleaningRule.apply (cleaning_rule.py:40-109): a custom
     ``function`` wins, else pattern+transform (applied only when the pattern
     matches), else exact example lookup. Divergences (documented): a custom
-    function runs as a Python UDF with THIS rule's fixed confidence (the
+    function runs inside an Arrow-batched pandas UDF (Series.map — still one
+    value per call) with THIS rule's fixed confidence (the
     reference lets the callable return its own per-value confidence), and
     ``title_case`` maps to Spark's initcap (word starts after whitespace,
     not after every non-letter as str.title does).
@@ -226,7 +227,20 @@ def compile_cleaning_rule(rule: CleaningRule) -> RuleSpec:
     CleaningRule.apply's dispatch order (cleaning_rule.py:40-109)."""
     if rule.function is not None:
         fn = rule.function
-        py = F.udf(lambda v: None if v is None else str(fn(v)[0]), "string")
+
+        # Arrow-batched (U3/T14): the callable still sees one value at a
+        # time (the reference contract, cleaning_rule.py:53-59) but rides a
+        # pandas UDF — Series.map per Arrow batch instead of a row-at-a-time
+        # BatchEvalPython stage (round-2 VERDICT #4)
+        @F.pandas_udf("string")
+        def py(s):
+            import pandas as pd
+
+            mask = s.notna()
+            out = pd.Series([None] * len(s), index=s.index, dtype=object)
+            out[mask] = s[mask].map(lambda v: str(fn(v)[0]))
+            return out
+
         transform = lambda c: py(c)
     elif rule.pattern and rule.transform:
         pat = rule.pattern

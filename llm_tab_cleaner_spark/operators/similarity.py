@@ -164,6 +164,7 @@ def knn_join_blocked(
     vec_col: str,
     k: int = 5,
     pad: int = 8,
+    max_probe_rows: int = 100_000,
 ) -> DataFrame:
     """EXACT k nearest right-rows per left-row without a cartesian shuffle —
     the scale path for kNN joins when the query side is small (the usual
@@ -180,9 +181,24 @@ def knn_join_blocked(
     SELECT candidates, never to produce the reported score) and ranked with
     a window. Exactness: every true global top-k element is in its
     partition's local top-k; ``pad`` absorbs float-noise at the local cut.
+
+    Guard (round-2 VERDICT #2): the probe side is collected to the driver,
+    so the "query side is small" contract is ENFORCED — more than
+    ``max_probe_rows`` probe rows raises instead of silently OOMing the
+    driver. For bigger probe sets, batch the probes or use the LSH/IVF
+    variants (lsh_topk / ivf_assign) whose candidate sets stay distributed.
+    The count costs one cheap job bounded by limit(max_probe_rows + 1).
     """
     from pyspark.sql import Window
 
+    n_probe = left.limit(max_probe_rows + 1).count()
+    if n_probe > max_probe_rows:
+        raise ValueError(
+            f"knn_join_blocked collects the probe (left) side to the driver; "
+            f"got > {max_probe_rows} probe rows. Batch the probes, raise "
+            f"max_probe_rows explicitly, or use lsh_topk/ivf_assign for "
+            f"large probe sets."
+        )
     qpdf = left.select(F.col(id_left).alias("qid"), F.col(vec_col).alias("_q")).toPandas()
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["_q"].to_numpy()).astype(np.float64)

@@ -123,3 +123,21 @@ def test_examples_and_custom_function(spark):
 def test_unknown_transform_raises():
     with pytest.raises(ValueError, match="unknown transform"):
         compile_cleaning_rule(CleaningRule("bad", pattern="x", transform="nope"))
+
+
+def test_custom_function_rule_is_arrow_batched(spark):
+    """T14/U3: a custom callable compiles to an Arrow-batched pandas UDF
+    (ArrowEvalPython), never a row-at-a-time BatchEvalPython stage."""
+    from llm_tab_cleaner_spark.operators.rules import apply_rules
+
+    pdf = pd.DataFrame({"v": ["a", None, "c"]})
+    rule = CleaningRule(
+        name="up", function=lambda v: (v.upper(), 0.9),
+        column_patterns=(r"^v$",), confidence=0.88,
+    )
+    res = apply_rules(spark.createDataFrame(pdf), rules=[rule])
+    plan = res.cleaned._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan, plan[:1500]
+    o = res.cleaned.toPandas()
+    assert list(o.v) == ["A", None, "C"]  # nulls pass through untouched

@@ -81,3 +81,17 @@ def test_quality_filter_mode(spark, tmp_path, code_files_small):
     assert "content_sha256" in kept.columns
     report = json.load(open(out + ".report.json"))
     assert report["total_files"] == 80
+
+
+def test_job_pins_executor_blas_threads():
+    """The spark-submit job must carry the executorEnv BLAS pins itself —
+    it bypasses session.build_session (round-2 VERDICT #5)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_quality_filter_job", "/root/repo/jobs/run_quality_filter.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for lib in ("OMP", "OPENBLAS", "MKL"):
+        assert mod.EXECUTOR_ENV_PINS[f"spark.executorEnv.{lib}_NUM_THREADS"] == "1"

@@ -119,3 +119,13 @@ def test_trained_ivf_beats_random_centroids(spark):
     # purity: every true cluster maps to one dominant cell
     purity = out.groupby("true").cell.agg(lambda s: s.value_counts().iloc[0] / len(s))
     assert (purity > 0.95).all()
+
+
+def test_knn_join_blocked_probe_guard(vecs):
+    """The probe side is driver-collected by design; exceeding the bound
+    must fail loudly instead of silently OOMing the driver."""
+    df, _ = vecs
+    with pytest.raises(ValueError, match="probe"):
+        similarity.knn_join_blocked(
+            df, df, "vec_id", "vec_id", "embedding", 3, max_probe_rows=50
+        ).collect()
