@@ -541,6 +541,70 @@ def _q_native_rules_docs(spark, sf):
     )
 
 
+def _q_rules_tabular(spark, sf):
+    """T1-T13 end-to-end, driver-oracled: the reference's PRIMARY tabular
+    use case (core.py:274-296 via cleaning_rule.py:148-175 max-confidence-
+    wins). A messy view is synthesized deterministically from customer
+    (phone/state/boolean/currency/date/email/nullish variants keyed on
+    c_custkey mods), the DEFAULT rule table runs through apply_rules, and
+    the long-format audit is compared against a DuckDB twin that derives
+    each branch's expected (rule, confidence, cleaned) independently."""
+    from llm_tab_cleaner_spark.operators.rules import apply_rules
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    m2, m3, m4, m5 = [F.pmod(k, F.lit(n)) for n in (2, 3, 4, 5)]
+    s4 = F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0")
+    ks = k.cast("string")
+    phone = (
+        F.when(m4 == 0, F.concat(F.lit("(555) 010-"), s4))
+        .when(m4 == 1, F.concat(F.lit("1 555 010 "), s4))
+        .when(m4 == 2, F.concat(F.lit(" 555-010-"), s4, F.lit(" ")))
+        .otherwise(F.lit("n/a"))
+    )
+    state = (
+        F.when(m4 == 0, F.lit("california"))
+        .when(m4 == 1, F.lit("new york"))
+        .when(m4 == 2, F.lit(" TX "))
+        .otherwise(F.lit("WA"))  # not in the map → no fix row
+    )
+    flag = F.when(m3 == 0, F.lit("Yes")).when(m3 == 1, F.lit("0")).otherwise(F.lit("true"))
+    cents = (F.pmod(k, F.lit(90)) + 10).cast("string")
+    price = F.when(m2 == 0, F.concat(F.lit("$"), cents, F.lit(".25"))).otherwise(
+        F.concat(cents, F.lit(".99"))
+    )
+    mm = (F.pmod(k, F.lit(12)) + 1).cast("string")
+    dd = (F.pmod(k, F.lit(28)) + 1).cast("string")
+    signup = F.when(m2 == 0, F.concat(mm, F.lit("/"), dd, F.lit("/2019"))).otherwise(
+        F.lit("2019-06-15")
+    )
+    email = (
+        F.when(m3 == 0, F.concat(F.lit("User"), ks, F.lit("@Example.COM")))
+        .when(m3 == 1, F.concat(F.lit("customer"), ks, F.lit("@example.com")))
+        .otherwise(F.concat(F.lit("  a"), ks, F.lit("@b.com  ")))
+    )
+    note = (
+        F.when(m5 == 0, F.lit("N/A"))
+        .when(m5 == 1, F.lit("  hello world  "))
+        .when(m5 == 2, F.lit("TBD"))
+        .otherwise(F.lit("ok"))
+    )
+    messy = c.select(
+        k.alias("c_custkey"), phone.alias("phone"), state.alias("state"),
+        flag.alias("is_active"), price.alias("price"), signup.alias("signup_date"),
+        email.alias("email"), note.alias("note"),
+    )
+    res = apply_rules(messy, confidence_threshold=0.7, key_cols=["c_custkey"])
+    return res.audit.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("column").alias("col_name"),
+        "rule_fired",
+        F.round("confidence", 2).cast("double").alias("confidence"),
+        "original",
+        "cleaned",
+    )
+
+
 # ---- embeddings / similarity ----
 
 def _query_vec(spark, sf):
@@ -590,6 +654,57 @@ def _q_knn_blocked(spark, sf):
         F.col("nid").cast("bigint").alias("nid"),
         "cosine",
         F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _q_lsh_topk(spark, sf):
+    """Multi-probe hyperplane-LSH ANN top-k. The DuckDB oracle replays the
+    EXACT LSH semantics (seed-deterministic plane matrix as literals →
+    per-vector bucket, query bucket, hamming-≤multiprobe probe ring, native
+    cosine rescore, top-k), so equality holds at ANY SF/seed — it does not
+    rely on LSH recall being 1.0 against a brute oracle."""
+    e = _t(spark, sf, "embeddings")
+    row = e.filter(F.col("vec_id") == 1).select("embedding").head()
+    q = [float(x) for x in row[0]]
+    return similarity.lsh_topk(
+        e, "vec_id", "embedding", q, 10, n_planes=8, seed=42, multiprobe=2
+    )
+
+
+def _q_ivf_assign(spark, sf):
+    """IVF cell assignment with a DATA-DERIVED codebook the oracle can
+    replay: per-label spherical centroids (avg per dimension, rounded to 6
+    decimals, unit-normalized). The Lloyd-trained codebook path
+    (train_ivf_codebook) is pytest-verified (test_trained_ivf_beats_random_
+    centroids); this query oracles the distributed assignment operator —
+    broadcast codebook, one f64 matmul argmax per Arrow batch."""
+    import numpy as np
+
+    e = _t(spark, sf, "embeddings")
+    cent_rows = (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("avg_v"))
+        .collect()
+    )
+    labels = sorted({int(r["label"]) for r in cent_rows})
+    dim = max(int(r["pos"]) for r in cent_rows) + 1
+    cents = np.zeros((len(labels), dim))
+    lix = {l: i for i, l in enumerate(labels)}
+    for r in cent_rows:
+        cents[lix[int(r["label"])], int(r["pos"])] = float(r["avg_v"])
+    cents = np.round(cents, 6)  # both sides assign against the ROUNDED centroid
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+    out = similarity.ivf_assign(e, "vec_id", "embedding", codebook=cents)
+    label_arr = F.array(*[F.lit(l) for l in labels])
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        label_arr[F.col("cell")].cast("bigint").alias("cell"),
     )
 
 
@@ -697,10 +812,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio": _q_stopword_ratio,
         "label_centroids": _q_label_centroids,
         "native_rules_docs": _q_native_rules_docs,
+        "rules_tabular": _q_rules_tabular,
         "cosine_topk": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn_brute,
         "knn_blocked": _q_knn_blocked,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_assign": _q_ivf_assign,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -716,6 +834,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
 _NULLISH_LIST = ", ".join(f"'{t}'" for t in TH.NULLISH_TOKENS)
 _STOPS_SQL = ", ".join(f"'{t}'" for t in TA.STOPWORDS)
+
+
+def _lsh_topk_sql() -> str:
+    """Replays lsh_topk's exact semantics in DuckDB: the seed-42 plane
+    matrix is data-independent (f32-rounded constants, exactly representable
+    as doubles), so bucket bits, the query bucket, the hamming-≤2 probe
+    ring, and the rounded-cosine top-k are all computed identically."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((64, 8)).astype(np.float32).astype(np.float64)
+    terms = []
+    for j in range(8):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = "\n                 + ".join(terms)
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), q AS (
+          SELECT bucket AS qb, embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 1
+        )
+        SELECT b.vec_id,
+               round(list_dot_product(b.embedding::DOUBLE[], q.qv) /
+                     (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        FROM b, q
+        WHERE bit_count(xor(b.bucket::BIGINT, q.qb::BIGINT)) <= 2
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+_LSH_TOPK_SQL = _lsh_topk_sql()
 
 
 def _dp_noise_sql() -> str:
@@ -1058,6 +1212,66 @@ def oracle_sql() -> dict[str, str]:
                    ({drop_conf}) < {TH.CONF_THRESHOLD} AS keep
             FROM documents
         """,
+        # Independent derivation of the T1-T13 winners: each synthesized
+        # branch's expected (rule, confidence, cleaned) is written out
+        # directly (max-confidence-wins: trim 0.99 > null 0.95 > state/email
+        # 0.9 > phone/currency 0.85 > date 0.8)
+        "rules_tabular": """
+            WITH m AS (
+              SELECT c_custkey AS k, c_custkey % 2 AS m2, c_custkey % 3 AS m3,
+                     c_custkey % 4 AS m4, c_custkey % 5 AS m5,
+                     lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS s4,
+                     ((c_custkey % 90) + 10)::VARCHAR AS cents,
+                     ((c_custkey % 12) + 1)::VARCHAR AS mm,
+                     ((c_custkey % 28) + 1)::VARCHAR AS dd
+              FROM customer
+            )
+            SELECT k AS c_custkey, 'phone' AS col_name,
+                   CASE m4 WHEN 2 THEN 'trim_whitespace' WHEN 3 THEN 'null_standardization'
+                        ELSE 'phone_standardization' END AS rule_fired,
+                   CAST(CASE m4 WHEN 2 THEN 0.99 WHEN 3 THEN 0.95 ELSE 0.85 END AS DOUBLE) AS confidence,
+                   CASE m4 WHEN 0 THEN '(555) 010-' || s4 WHEN 1 THEN '1 555 010 ' || s4
+                        WHEN 2 THEN ' 555-010-' || s4 || ' ' ELSE 'n/a' END AS original,
+                   CASE m4 WHEN 0 THEN '555-010-' || s4 WHEN 1 THEN '1-555-010-' || s4
+                        WHEN 2 THEN '555-010-' || s4 ELSE NULL END AS cleaned
+            FROM m
+            UNION ALL
+            SELECT k, 'state',
+                   CASE m4 WHEN 2 THEN 'trim_whitespace' ELSE 'state_standardization' END,
+                   CAST(CASE m4 WHEN 2 THEN 0.99 ELSE 0.9 END AS DOUBLE),
+                   CASE m4 WHEN 0 THEN 'california' WHEN 1 THEN 'new york' ELSE ' TX ' END,
+                   CASE m4 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' ELSE 'TX' END
+            FROM m WHERE m4 <> 3
+            UNION ALL
+            SELECT k, 'is_active', 'boolean_standardization', CAST(0.95 AS DOUBLE),
+                   CASE m3 WHEN 0 THEN 'Yes' ELSE '0' END,
+                   CASE m3 WHEN 0 THEN 'true' ELSE 'false' END
+            FROM m WHERE m3 <> 2
+            UNION ALL
+            SELECT k, 'price', 'currency_standardization', CAST(0.85 AS DOUBLE),
+                   '$' || cents || '.25', cents || '.25'
+            FROM m WHERE m2 = 0
+            UNION ALL
+            SELECT k, 'signup_date', 'date_standardization', CAST(0.8 AS DOUBLE),
+                   mm || '/' || dd || '/2019', '2019-' || mm || '-' || dd
+            FROM m WHERE m2 = 0
+            UNION ALL
+            SELECT k, 'email',
+                   CASE m3 WHEN 0 THEN 'email_standardization' ELSE 'trim_whitespace' END,
+                   CAST(CASE m3 WHEN 0 THEN 0.9 ELSE 0.99 END AS DOUBLE),
+                   CASE m3 WHEN 0 THEN 'User' || k::VARCHAR || '@Example.COM'
+                        ELSE '  a' || k::VARCHAR || '@b.com  ' END,
+                   CASE m3 WHEN 0 THEN 'user' || k::VARCHAR || '@example.com'
+                        ELSE 'a' || k::VARCHAR || '@b.com' END
+            FROM m WHERE m3 <> 1
+            UNION ALL
+            SELECT k, 'note',
+                   CASE m5 WHEN 1 THEN 'trim_whitespace' ELSE 'null_standardization' END,
+                   CAST(CASE m5 WHEN 1 THEN 0.99 ELSE 0.95 END AS DOUBLE),
+                   CASE m5 WHEN 0 THEN 'N/A' WHEN 1 THEN '  hello world  ' ELSE 'TBD' END,
+                   CASE m5 WHEN 1 THEN 'hello world' ELSE NULL END
+            FROM m WHERE m5 IN (0, 1, 2)
+        """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -1101,6 +1315,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "lsh_topk": _LSH_TOPK_SQL,
+        "ivf_assign": """
+            -- label-centroid codebook replay: round-6 per-dim averages,
+            -- argmax over dot/|c| (equal ordering to the engine's normalized
+            -- f64 matmul), ties to the lowest label (np.argmax first-max)
+            WITH x AS (
+              SELECT label, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), c AS (
+              SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS v
+              FROM x GROUP BY 1, 2
+            ), cl AS (
+              SELECT label, list(v ORDER BY i) AS cv FROM c GROUP BY label
+            ), scored AS (
+              SELECT e.vec_id, cl.label,
+                     list_dot_product(e.embedding::DOUBLE[], cl.cv)
+                       / sqrt(list_dot_product(cl.cv, cl.cv)) AS s
+              FROM embeddings e CROSS JOIN cl
+            ), r AS (
+              SELECT vec_id, label,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label ASC) AS rn
+              FROM scored
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS cell
+            FROM r WHERE rn = 1
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -28,9 +28,9 @@ N_FILES = max(1000, int(1_000_000 * SF))
 
 BENCH_QUERIES = [
     "pricing_summary", "region_revenue", "top_customers", "window_top_orders",
-    "doc_stats", "scrub_parity", "native_rules_docs", "token_topk",
-    "cosine_topk", "knn_brute", "knn_blocked", "embedding_near_dup",
-    "minhash_pairs", "simhash_pairs", "ngram_jaccard",
+    "doc_stats", "scrub_parity", "native_rules_docs", "rules_tabular",
+    "token_topk", "cosine_topk", "knn_brute", "knn_blocked",
+    "embedding_near_dup", "minhash_pairs", "simhash_pairs", "ngram_jaccard",
 ]
 
 

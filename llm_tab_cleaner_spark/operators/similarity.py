@@ -53,14 +53,17 @@ def hyperplane_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int = 8, dim: int = 64, seed: int = 42
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector (one Arrow-batched UDF doing a
-    single matmul per batch; planes are closure-broadcast)."""
+    single matmul per batch; planes are closure-broadcast). float64 matmul:
+    the plane constants are f32-rounded (exactly representable in f64), so an
+    external twin using double arithmetic (the DuckDB oracle) computes the
+    identical sign bits."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32).astype(np.float64)
 
     @F.pandas_udf("int")
     def bucket_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in it:
-            m = np.stack(vecs.to_numpy())  # (n, dim) float32
+            m = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
             bits = (m @ planes) > 0  # (n, n_planes)
             keys = np.zeros(len(vecs), dtype=np.int64)
             for j in range(n_planes):
@@ -120,8 +123,8 @@ def lsh_topk(
     dim = len(query)
     bucketed = hyperplane_buckets(df, id_col, vec_col, n_planes, dim, seed)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
-    qbits = (np.asarray(query, dtype=np.float32) @ planes) > 0
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32).astype(np.float64)
+    qbits = (np.asarray(query, dtype=np.float64) @ planes) > 0
     qkey = int(sum(int(b) << j for j, b in enumerate(qbits)))
     keys = {qkey}
     frontier = {qkey}
@@ -293,18 +296,20 @@ def ivf_assign(
     train_ivf_codebook) for real recall; without one, seeded random unit
     centroids keep the operator deterministic and dependency-free. The
     Spark plumbing is identical either way: broadcast codebook, one matmul
-    argmax per Arrow batch, downstream partition-by-cell."""
+    argmax per Arrow batch, downstream partition-by-cell. The matmul runs in
+    float64 so an external twin (DuckDB double arithmetic) lands on the same
+    argmax; np.argmax takes the FIRST max → ties break to the lowest cell."""
     if codebook is not None:
-        cents = np.asarray(codebook, dtype=np.float32)
+        cents = np.asarray(codebook, dtype=np.float64)
     else:
         rng = np.random.default_rng(seed)
-        cents = rng.standard_normal((n_centroids, dim)).astype(np.float32)
+        cents = rng.standard_normal((n_centroids, dim)).astype(np.float32).astype(np.float64)
         cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     @F.pandas_udf("int")
     def assign_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in it:
-            m = np.stack(vecs.to_numpy()).astype(np.float32)
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (m / norms) @ cents.T

@@ -13,7 +13,8 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 SUBSET = [
     "pricing_summary", "region_revenue", "native_rules_docs", "scrub_parity",
-    "cosine_topk", "embedding_near_dup", "doc_stats",
+    "cosine_topk", "embedding_near_dup", "doc_stats", "rules_tabular",
+    "lsh_topk", "ivf_assign",
 ]
 
 
