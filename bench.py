@@ -49,9 +49,48 @@ def _fixture_path(n_rows: int) -> str:
 QF_REPEATS = int(os.environ.get("SPARK_GRAFT_QF_REPEATS", "3"))
 
 
-def run_quality_filter(cpus: int, n_rows: int, repeats: int = QF_REPEATS) -> tuple[float, int]:
-    """Run the full pipeline at `cpus` parallelism; return (best seconds, rows).
-    Fresh session per call so parallelism actually changes.
+def _cpu_seconds_tree() -> float:
+    """utime+stime seconds summed over this process and every LIVE
+    descendant (the py4j-launched JVM and its python workers) via
+    /proc/<pid>/stat. Contention-immune evidence (round-2 VERDICT #1): wall
+    clock on this shared VM swings ±2-5×, but CPU-seconds measure the work
+    the engine actually did regardless of who else ran. Workers that exit
+    mid-window are not counted — the JVM and its worker pool live across a
+    bench leg, so the delta under-counts at most worker teardown."""
+    tick = os.sysconf("SC_CLK_TCK")
+    procs: dict[int, tuple[int, int]] = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                s = f.read().decode("ascii", "replace")
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2 :].split()  # comm may contain spaces
+        procs[int(pid)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(children.get(p, []))
+    return total / tick
+
+
+def run_quality_filter(
+    cpus: int, n_rows: int, repeats: int = QF_REPEATS
+) -> tuple[float, int, float]:
+    """Run the full pipeline at `cpus` parallelism; return (best wall
+    seconds, rows, cpu-seconds per run). CPU-seconds come from
+    _cpu_seconds_tree deltas around the timed runs (averaged over repeats) —
+    the contention-immune cost of one pipeline pass. Fresh session per call
+    so parallelism actually changes.
 
     Methodology (BENCH/BASELINE.md "Environment"): the first FULL-SIZE run is
     the warm-up — it pays whole-stage-codegen JIT (~20 s/plan shape) and
@@ -90,14 +129,18 @@ def run_quality_filter(cpus: int, n_rows: int, repeats: int = QF_REPEATS) -> tup
     pipe = CleanPipeline(spark, PipelineConfig(num_partitions=None))
     n = 0
     times: list[float] = []
+    cpu0 = None
     for i in range(repeats + 1):  # run 0 = full-size warm-up, untimed
+        if i == 1:
+            cpu0 = _cpu_seconds_tree()
         t0 = time.time()
         result, _audit = pipe.run(df)
         n = result.filter("keep").count()
         if i > 0:
             times.append(time.time() - t0)
+    cpu_per_run = (_cpu_seconds_tree() - cpu0) / repeats if repeats else 0.0
     spark.stop()
-    return min(times), n
+    return min(times), n, cpu_per_run
 
 
 def main() -> None:
@@ -108,11 +151,11 @@ def main() -> None:
     scaling_small = None
     if os.environ.get("SPARK_GRAFT_SCALING"):
         n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "0")) or max(1, CPUS // 4)
-        t_small, _ = run_quality_filter(n_small, N_FILES)
-        scaling_small = (n_small, t_small)
+        t_small, _, cpu_small = run_quality_filter(n_small, N_FILES)
+        scaling_small = (n_small, t_small, cpu_small)
 
     # 1) headline: quality-filter files/sec at full CPUs (the 4N leg)
-    qf_sec, _kept = run_quality_filter(CPUS, N_FILES)
+    qf_sec, _kept, qf_cpu = run_quality_filter(CPUS, N_FILES)
     files_per_sec = N_FILES / qf_sec
     queries_sec["quality_filter"] = round(qf_sec, 3)
 
@@ -143,11 +186,15 @@ def main() -> None:
         "sf": SF,
         "n_files": N_FILES,
         "cpus": CPUS,
+        # contention-immune evidence: engine CPU cost of ONE pipeline pass
+        # (utime+stime over the JVM + workers, /proc-metered) — stable under
+        # host noise that swings wall clock ±2-5×
+        "cpu_seconds": {"quality_filter": round(qf_cpu, 2)},
     }
 
     # 3) N→4N scaling evidence (headline run doubles as the 4N leg)
     if scaling_small is not None:
-        n_small, t_small = scaling_small
+        n_small, t_small, cpu_small = scaling_small
         thr_small = N_FILES / t_small
         thr_big = files_per_sec
         out["scaling"] = {
@@ -156,6 +203,12 @@ def main() -> None:
             "files_per_sec_n": round(thr_small, 1),
             "files_per_sec_4n": round(thr_big, 1),
             "efficiency": round((thr_big / thr_small) / (CPUS / n_small), 3),
+            # work conservation: CPU-seconds per pass at N vs 4N cores —
+            # ~1.0 means 4N does the same total work (no parallel overhead
+            # explosion), the scaling claim's contention-immune half
+            "cpu_seconds_n": round(cpu_small, 2),
+            "cpu_seconds_4n": round(qf_cpu, 2),
+            "work_conservation": round(qf_cpu / cpu_small, 3) if cpu_small else None,
         }
 
     print(json.dumps(out))

@@ -20,6 +20,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from llm_tab_cleaner_spark.operators.adaptive import (  # noqa: F401 (compat re-export)
+    CleaningPattern,
+    PatternLearner,
+)
 from llm_tab_cleaner_spark.operators.rules import (
     CleaningRule,
     RuleSet,

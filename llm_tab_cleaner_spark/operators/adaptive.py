@@ -1,0 +1,230 @@
+"""Adaptive pattern learner — learn exact fixes from the audit table.
+
+Port of the last reference feature with real dataflow semantics that had no
+engine counterpart: ``CleaningPattern`` / ``PatternLearner``
+(/root/reference/src/llm_tab_cleaner/adaptive.py:23-31, 175-330). The
+reference learns (original → cleaned) pairs from high-confidence fixes one
+at a time (``learn_from_fix``, gate 0.8) and probes them back per value
+(``suggest_fix``: exact match, best by frequency·confidence·recency, then a
+TF-IDF fuzzy pass).
+
+Spark-first re-expression:
+
+* **Learning is one aggregation** over the long-format audit table
+  (``groupBy(column, original, cleaned)`` → support count + max confidence,
+  the reference's update rule adaptive.py:211-216), not a per-fix callback.
+* **Application is a compiled broadcast-map RuleSpec** per (column,
+  confidence) — a native ``create_map`` lookup inside the existing rule
+  engine, so learned patterns ride the same max-confidence-wins plan as
+  hand-written rules. Zero per-value Python, nothing but the pattern table
+  (bounded by ``max_patterns``) leaves the driver.
+* Deliberate divergences (deterministic engine): no wall-clock recency decay
+  in pattern ranking (frequency then confidence then input), and no TF-IDF
+  fuzzy matching (nondeterministic confidence scaling) — exact match only,
+  like the reference's primary path. Patterns whose ``cleaned`` is NULL are
+  not learnable as map entries (null standardization already owns them).
+
+At 100 TB the learn step shuffles only (column, original, cleaned) triples
+that already passed the confidence gate — audit rows, not corpus rows — and
+the compiled map is a broadcast, so application adds no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.operators.rules import RuleSpec
+
+#: reference learn gate: "Only learn from high-confidence fixes"
+#: (adaptive.py:192-194)
+LEARN_MIN_CONFIDENCE = 0.8
+
+
+@dataclass
+class CleaningPattern:
+    """Learned pattern (reference CleaningPattern, adaptive.py:23-31).
+    ``last_used``/``metadata`` are dropped: recency is nondeterministic and
+    the column/rule provenance are first-class fields here."""
+
+    input_pattern: str
+    output_pattern: str
+    confidence: float
+    frequency: int
+    column: str | None = None
+    rule: str | None = None
+
+
+def learn_patterns(
+    audit_df: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = LEARN_MIN_CONFIDENCE,
+    max_patterns: int = 1000,
+) -> list[CleaningPattern]:
+    """One distributed pass over the audit table → ranked exact patterns.
+
+    support = number of fixes with this (column, original, cleaned);
+    confidence = max over those fixes (the reference's update rule).
+    Ranking mirrors the reference's eviction score frequency·confidence
+    (adaptive.py:305-312) minus the age penalty, with a deterministic
+    (column, input) tie-break.
+    """
+    rows = (
+        audit_df.filter(
+            (F.col("confidence") >= min_confidence) & F.col("cleaned").isNotNull()
+        )
+        .groupBy("column", "original", "cleaned")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.max("confidence").alias("confidence"),
+        )
+        .orderBy(
+            F.desc(F.col("frequency") * F.col("confidence")),
+            F.asc("column"),
+            F.asc("original"),
+        )
+        .limit(max_patterns)
+        .collect()
+    )
+    return [
+        CleaningPattern(
+            input_pattern=r["original"],
+            output_pattern=r["cleaned"],
+            confidence=float(r["confidence"]),
+            frequency=int(r["frequency"]),
+            column=r["column"],
+        )
+        for r in rows
+        if int(r["frequency"]) >= min_support
+    ]
+
+
+def _exact_map_lookup(mapping: dict[str, str]):
+    """Broadcast exact-match lookup on the RAW value — the reference's
+    suggest_fix matches ``p.input_pattern == str(value)`` verbatim
+    (adaptive.py:233-238), unlike the example-rule's lower/strip lookup."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    m = F.create_map(*pairs)
+    return lambda c: F.coalesce(m[c], c)
+
+
+def compile_patterns(patterns: list[CleaningPattern]) -> list[RuleSpec]:
+    """Patterns → broadcast-map RuleSpecs, one per (column, confidence) so
+    each pattern keeps ITS confidence through the rule engine's
+    max-confidence-wins selection. Column-scoped patterns anchor to their
+    column name; column-less ones apply everywhere."""
+    grouped: dict[tuple[str | None, float], dict[str, str]] = {}
+    for p in patterns:
+        grouped.setdefault((p.column, p.confidence), {})[p.input_pattern] = (
+            p.output_pattern
+        )
+    specs = []
+    for (column, conf), mapping in sorted(
+        grouped.items(), key=lambda kv: (kv[0][0] or "", -kv[0][1])
+    ):
+        scope = (f"^{re.escape(column)}$",) if column else ()
+        specs.append(
+            RuleSpec(
+                name=f"learned_{column or 'any'}_{conf:g}",
+                confidence=conf,
+                transform=_exact_map_lookup(mapping),
+                column_patterns=scope,
+                description=f"{len(mapping)} learned exact patterns "
+                f"(adaptive.py:175-330 port)",
+            )
+        )
+    return specs
+
+
+class PatternLearner:
+    """Reference PatternLearner surface (adaptive.py:175-330) over the
+    deterministic engine: ``learn_from_fix`` / ``suggest_fix`` keep their
+    call shapes for ported code; ``learn_from_audit`` + ``to_rules`` are the
+    distributed path."""
+
+    def __init__(self, max_patterns: int = 1000, min_confidence: float = LEARN_MIN_CONFIDENCE):
+        self.max_patterns = max_patterns
+        self.min_confidence = min_confidence
+        # key (column, input, output) → CleaningPattern
+        self._patterns: dict[tuple[str | None, str, str], CleaningPattern] = {}
+
+    # ---- reference-shaped per-fix surface ----
+    def learn_from_fix(self, fix, context: dict | None = None) -> None:
+        """Learn one fix (reference adaptive.py:189-226). ``fix`` is any
+        object with .column/.original/.cleaned/.confidence (compat.Fix, an
+        audit Row, or a reference Fix)."""
+        conf = float(fix.confidence)
+        if conf < self.min_confidence or fix.cleaned is None:
+            return
+        key = (fix.column, str(fix.original), str(fix.cleaned))
+        existing = self._patterns.get(key)
+        if existing is not None:
+            existing.frequency += 1
+            existing.confidence = max(existing.confidence, conf)
+        elif len(self._patterns) < self.max_patterns:
+            self._patterns[key] = CleaningPattern(
+                input_pattern=str(fix.original),
+                output_pattern=str(fix.cleaned),
+                confidence=conf,
+                frequency=1,
+                column=fix.column,
+                rule=getattr(fix, "rule_applied", None) or getattr(fix, "rule_fired", None),
+            )
+
+    def suggest_fix(self, value, column: str | None = None, context: dict | None = None):
+        """Exact-match suggestion (adaptive.py:228-246): best pattern by
+        (frequency, confidence) — deterministic, no recency term. Returns
+        (cleaned, confidence) or None."""
+        vs = str(value)
+        matches = [
+            p
+            for (col, inp, _out), p in self._patterns.items()
+            if inp == vs and (column is None or col is None or col == column)
+        ]
+        if not matches:
+            return None
+        best = max(matches, key=lambda p: (p.frequency, p.confidence, p.output_pattern))
+        return best.output_pattern, best.confidence
+
+    # ---- distributed surface ----
+    def learn_from_audit(self, audit_df: DataFrame, min_support: int = 1) -> int:
+        """Merge patterns learned from an audit table (one aggregation);
+        returns how many patterns are now held."""
+        for p in learn_patterns(
+            audit_df,
+            min_support=min_support,
+            min_confidence=self.min_confidence,
+            max_patterns=self.max_patterns,
+        ):
+            key = (p.column, p.input_pattern, p.output_pattern)
+            existing = self._patterns.get(key)
+            if existing is not None:
+                existing.frequency += p.frequency
+                existing.confidence = max(existing.confidence, p.confidence)
+            elif len(self._patterns) < self.max_patterns:
+                self._patterns[key] = p
+        return len(self._patterns)
+
+    def to_rules(self, min_support: int = 2) -> list[RuleSpec]:
+        """Compile held patterns (at/above ``min_support``) to broadcast-map
+        RuleSpecs for rules.apply_rules / compat.TableCleaner."""
+        keep = [p for p in self._patterns.values() if p.frequency >= min_support]
+        return compile_patterns(keep)
+
+    def get_stats(self) -> dict:
+        """Reference get_stats shape (adaptive.py:330-346, minus wall-clock
+        fields)."""
+        pats = list(self._patterns.values())
+        if not pats:
+            return {"pattern_count": 0}
+        return {
+            "pattern_count": len(pats),
+            "max_patterns": self.max_patterns,
+            "average_confidence": sum(p.confidence for p in pats) / len(pats),
+            "average_frequency": sum(p.frequency for p in pats) / len(pats),
+        }

@@ -1,0 +1,100 @@
+"""Adaptive pattern learner: learn exact fixes from the audit table, compile
+to broadcast-map rules, and re-apply — mirroring the reference's
+learn-then-suggest flow (adaptive.py:175-330)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from llm_tab_cleaner_spark.compat import PatternLearner, TableCleaner
+from llm_tab_cleaner_spark.operators.adaptive import compile_patterns, learn_patterns
+from llm_tab_cleaner_spark.operators.rules import apply_rules
+
+
+def _audit_from_default_rules(spark):
+    pdf = pd.DataFrame(
+        {
+            "state": ["california", "california", "california", "texas", "TX"],
+            "note": ["n/a", "ok", "n/a", "fine", "n/a"],
+        }
+    )
+    cleaner = TableCleaner(confidence_threshold=0.7)
+    cleaner.clean(spark.createDataFrame(pdf))
+    return cleaner.last_audit
+
+
+def test_learn_patterns_from_audit(spark):
+    audit = _audit_from_default_rules(spark)
+    pats = learn_patterns(audit, min_support=2)
+    by_key = {(p.column, p.input_pattern): p for p in pats}
+    ca = by_key[("state", "california")]
+    assert ca.output_pattern == "CA" and ca.frequency == 3 and ca.confidence == 0.9
+    # support-1 fix (texas->TX) is below min_support
+    assert ("state", "texas") not in by_key
+    # null-standardization fixes (cleaned IS NULL) are not learnable as maps
+    assert ("note", "n/a") not in by_key
+
+
+def test_learned_rules_reapply_without_originals(spark):
+    """Learn-then-apply: the compiled broadcast-map rule fixes the SAME messy
+    value in fresh data with NO default rules in play — the reference's
+    suggest_fix cache-aside, as a native Column plan."""
+    audit = _audit_from_default_rules(spark)
+    learner = PatternLearner()
+    n = learner.learn_from_audit(audit, min_support=1)
+    assert n >= 2
+    rules = learner.to_rules(min_support=2)
+    assert rules and all(r.name.startswith("learned_") for r in rules)
+
+    fresh = spark.createDataFrame(
+        pd.DataFrame({"state": ["california", "oregon"], "other": ["california", "x"]})
+    )
+    res = apply_rules(fresh, rules=rules, confidence_threshold=0.7)
+    out = res.cleaned.toPandas()
+    assert list(out.state) == ["CA", "oregon"]
+    # learned patterns are column-scoped: 'other' is untouched
+    assert list(out.other) == ["california", "x"]
+    # exact match only — no lower/strip generalization (reference parity)
+    res2 = apply_rules(
+        spark.createDataFrame(pd.DataFrame({"state": ["  california  "]})),
+        rules=rules,
+        confidence_threshold=0.7,
+    )
+    assert res2.cleaned.toPandas().state.iloc[0] == "  california  "
+
+
+def test_pattern_learner_reference_surface(spark):
+    """learn_from_fix / suggest_fix / get_stats keep the reference call
+    shapes; the 0.8 confidence gate and max-update rule hold."""
+    from llm_tab_cleaner_spark.compat import Fix
+
+    learner = PatternLearner()
+    fix = Fix(column="state", row_index=None, original="california",
+              cleaned="CA", confidence=0.9)
+    low = Fix(column="state", row_index=None, original="junk",
+              cleaned="J", confidence=0.5)
+    learner.learn_from_fix(fix)
+    learner.learn_from_fix(fix)
+    learner.learn_from_fix(Fix(column="state", row_index=None,
+                               original="california", cleaned="CA", confidence=0.95))
+    learner.learn_from_fix(low)  # below the 0.8 learn gate → ignored
+    got = learner.suggest_fix("california", "state")
+    assert got == ("CA", 0.95)  # confidence = max over fixes
+    assert learner.suggest_fix("junk", "state") is None
+    assert learner.suggest_fix("nope", "state") is None
+    stats = learner.get_stats()
+    assert stats["pattern_count"] == 1 and stats["average_frequency"] == 3
+
+
+def test_compile_patterns_groups_by_column_and_confidence():
+    from llm_tab_cleaner_spark.operators.adaptive import CleaningPattern
+
+    pats = [
+        CleaningPattern("a", "A", 0.9, 3, column="col1"),
+        CleaningPattern("b", "B", 0.9, 2, column="col1"),
+        CleaningPattern("c", "C", 0.8, 2, column="col1"),
+        CleaningPattern("d", "D", 0.9, 2, column="col2"),
+    ]
+    specs = compile_patterns(pats)
+    assert len(specs) == 3  # (col1,0.9) merged, (col1,0.8), (col2,0.9)
+    assert specs[0].applies_to("col1") and not specs[0].applies_to("col10")
