@@ -28,5 +28,6 @@ from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline, PipelineConfig
 
 __all__ = ["CleanPipeline", "PipelineConfig", "__version__"]
 # Reference-compat surfaces (imported lazily by most users):
-#   compat.TableCleaner / SparkCleaner / CleaningRule / RuleSet
+#   compat.TableCleaner / SparkCleaner / CleaningRule / RuleSet /
+#   PatternLearner (adaptive learn-then-apply)
 #   cli.main — the llm-clean command (python -m llm_tab_cleaner_spark.cli)
