@@ -541,14 +541,14 @@ def _q_native_rules_docs(spark, sf):
     )
 
 
-def _q_rules_tabular(spark, sf):
-    """T1-T13 end-to-end, driver-oracled: the reference's PRIMARY tabular
-    use case (core.py:274-296 via cleaning_rule.py:148-175 max-confidence-
-    wins). A messy view is synthesized deterministically from customer
+def _rules_tabular_audit(spark, sf):
+    """T1-T13 end-to-end: the reference's PRIMARY tabular use case
+    (core.py:274-296 via cleaning_rule.py:148-175 max-confidence-wins).
+    A messy view is synthesized deterministically from customer
     (phone/state/boolean/currency/date/email/nullish variants keyed on
-    c_custkey mods), the DEFAULT rule table runs through apply_rules, and
-    the long-format audit is compared against a DuckDB twin that derives
-    each branch's expected (rule, confidence, cleaned) independently."""
+    c_custkey mods) and the DEFAULT rule table runs through apply_rules;
+    the long-format audit feeds rules_tabular (driver-oracled against a
+    branch-wise DuckDB twin) and learned_patterns."""
     from llm_tab_cleaner_spark.operators.rules import apply_rules
 
     c = _t(spark, sf, "customer")
@@ -595,13 +595,68 @@ def _q_rules_tabular(spark, sf):
         email.alias("email"), note.alias("note"),
     )
     res = apply_rules(messy, confidence_threshold=0.7, key_cols=["c_custkey"])
-    return res.audit.select(
+    return res.audit
+
+
+def _q_rules_tabular(spark, sf):
+    return _rules_tabular_audit(spark, sf).select(
         F.col("c_custkey").cast("bigint").alias("c_custkey"),
         F.col("column").alias("col_name"),
         "rule_fired",
         F.round("confidence", 2).cast("double").alias("confidence"),
         "original",
         "cleaned",
+    )
+
+
+def _q_learned_patterns(spark, sf):
+    """The adaptive learner's distributed aggregation (adaptive.py port)
+    over the rules_tabular audit: high-confidence exact fixes grouped to
+    (column, original, cleaned) with support + max confidence. The oracle
+    re-derives the SAME audit branch-wise and aggregates it in SQL — two
+    independent derivations of what the learner should learn."""
+    from llm_tab_cleaner_spark.operators.adaptive import learned_patterns_df
+
+    audit = _rules_tabular_audit(spark, sf)
+    out = learned_patterns_df(audit, min_support=2, min_confidence=0.8)
+    return out.select(
+        F.col("column").alias("col_name"), "original", "cleaned",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.round("confidence", 2).cast("double").alias("confidence"),
+    )
+
+
+def _q_calibration_metrics(spark, sf):
+    """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
+    the same synthesized (conf, label) pairs calibration_bins uses."""
+    from llm_tab_cleaner_spark.operators.calibration import calibration_metrics_df
+
+    li = _t(spark, sf, "lineitem")
+    labeled = li.select(
+        F.least(F.col("l_discount") * 10, F.lit(0.999)).alias("conf"),
+        (F.col("l_quantity") > 25).cast("double").alias("label"),
+    )
+    out = calibration_metrics_df(labeled, "conf", "label", 10)
+    return out.select(
+        F.round("brier", 6).cast("double").alias("brier"),
+        F.round("log_loss", 6).cast("double").alias("log_loss"),
+        F.round("reliability", 6).cast("double").alias("reliability"),
+        F.round("sharpness", 6).cast("double").alias("sharpness"),
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+    )
+
+
+def _q_string_length_stats(spark, sf):
+    """A4: string-column profile (null/distinct + length min/max/avg) over
+    customer names — the non-numeric column_stats path."""
+    c = _t(spark, sf, "customer")
+    return profiler.column_stats(c, "c_name", numeric=False).select(
+        F.col("row_count").cast("bigint").alias("row_count"),
+        F.col("null_count").cast("bigint").alias("null_count"),
+        F.col("distinct_count").cast("bigint").alias("distinct_count"),
+        F.col("min_length").cast("bigint").alias("min_length"),
+        F.col("max_length").cast("bigint").alias("max_length"),
+        F.col("avg_length").cast("double").alias("avg_length"),
     )
 
 
@@ -813,6 +868,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": _q_label_centroids,
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
+        "learned_patterns": _q_learned_patterns,
+        "calibration_metrics": _q_calibration_metrics,
+        "string_length_stats": _q_string_length_stats,
         "cosine_topk": _q_cosine_topk,
         "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn_brute,
@@ -1315,6 +1373,103 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+        """,
+        "learned_patterns": """
+            -- the rules_tabular branch table, aggregated the way the
+            -- learner aggregates the audit: confidence >= 0.8, cleaned not
+            -- null, support >= 2, confidence = max
+            WITH m AS (
+              SELECT c_custkey AS k, c_custkey % 2 AS m2, c_custkey % 3 AS m3,
+                     c_custkey % 4 AS m4, c_custkey % 5 AS m5,
+                     lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS s4,
+                     ((c_custkey % 90) + 10)::VARCHAR AS cents,
+                     ((c_custkey % 12) + 1)::VARCHAR AS mm,
+                     ((c_custkey % 28) + 1)::VARCHAR AS dd
+              FROM customer
+            ), audit AS (
+              SELECT 'phone' AS col_name,
+                     CASE m4 WHEN 2 THEN 0.99 WHEN 3 THEN 0.95 ELSE 0.85 END AS confidence,
+                     CASE m4 WHEN 0 THEN '(555) 010-' || s4 WHEN 1 THEN '1 555 010 ' || s4
+                          WHEN 2 THEN ' 555-010-' || s4 || ' ' ELSE 'n/a' END AS original,
+                     CASE m4 WHEN 0 THEN '555-010-' || s4 WHEN 1 THEN '1-555-010-' || s4
+                          WHEN 2 THEN '555-010-' || s4 ELSE NULL END AS cleaned
+              FROM m
+              UNION ALL
+              SELECT 'state', CASE m4 WHEN 2 THEN 0.99 ELSE 0.9 END,
+                     CASE m4 WHEN 0 THEN 'california' WHEN 1 THEN 'new york' ELSE ' TX ' END,
+                     CASE m4 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' ELSE 'TX' END
+              FROM m WHERE m4 <> 3
+              UNION ALL
+              SELECT 'is_active', 0.95,
+                     CASE m3 WHEN 0 THEN 'Yes' ELSE '0' END,
+                     CASE m3 WHEN 0 THEN 'true' ELSE 'false' END
+              FROM m WHERE m3 <> 2
+              UNION ALL
+              SELECT 'price', 0.85, '$' || cents || '.25', cents || '.25'
+              FROM m WHERE m2 = 0
+              UNION ALL
+              SELECT 'signup_date', 0.8, mm || '/' || dd || '/2019',
+                     '2019-' || mm || '-' || dd
+              FROM m WHERE m2 = 0
+              UNION ALL
+              SELECT 'email',
+                     CASE m3 WHEN 0 THEN 0.9 ELSE 0.99 END,
+                     CASE m3 WHEN 0 THEN 'User' || k::VARCHAR || '@Example.COM'
+                          ELSE '  a' || k::VARCHAR || '@b.com  ' END,
+                     CASE m3 WHEN 0 THEN 'user' || k::VARCHAR || '@example.com'
+                          ELSE 'a' || k::VARCHAR || '@b.com' END
+              FROM m WHERE m3 <> 1
+              UNION ALL
+              SELECT 'note',
+                     CASE m5 WHEN 1 THEN 0.99 ELSE 0.95 END,
+                     CASE m5 WHEN 0 THEN 'N/A' WHEN 1 THEN '  hello world  ' ELSE 'TBD' END,
+                     CASE m5 WHEN 1 THEN 'hello world' ELSE NULL END
+              FROM m WHERE m5 IN (0, 1, 2)
+            )
+            SELECT col_name, original, cleaned,
+                   count(*) AS frequency,
+                   CAST(round(max(confidence), 2) AS DOUBLE) AS confidence
+            FROM audit
+            WHERE confidence >= 0.8 AND cleaned IS NOT NULL
+            GROUP BY col_name, original, cleaned
+            HAVING count(*) >= 2
+        """,
+        "calibration_metrics": """
+            WITH labeled AS (
+              SELECT least(l_discount * 10, 0.999) AS conf,
+                     CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS label
+              FROM lineitem
+            ), pb AS (
+              SELECT least(floor(conf * 10), 9) AS bin, count(*) AS n,
+                     avg(conf) AS ac, avg(label) AS al
+              FROM labeled GROUP BY 1
+            ), tot AS (
+              SELECT sum(n) AS total,
+                     sum(n * (ac - al) * (ac - al)) AS rel,
+                     sum(al * n) AS labn
+              FROM pb
+            ), sc AS (
+              SELECT avg((conf - label) * (conf - label)) AS brier,
+                     avg(-(label * ln(greatest(least(conf, 1 - 1e-15), 1e-15))
+                           + (1 - label) * ln(1 - greatest(least(conf, 1 - 1e-15), 1e-15)))) AS log_loss,
+                     count(*) AS n_samples
+              FROM labeled
+            )
+            SELECT CAST(round(sc.brier, 6) AS DOUBLE) AS brier,
+                   CAST(round(sc.log_loss, 6) AS DOUBLE) AS log_loss,
+                   CAST(round(tot.rel / tot.total, 6) AS DOUBLE) AS reliability,
+                   CAST(round((SELECT sum(n * (al - tot.labn / tot.total) * (al - tot.labn / tot.total)) FROM pb) / tot.total, 6) AS DOUBLE) AS sharpness,
+                   CAST(sc.n_samples AS BIGINT) AS n_samples
+            FROM sc, tot
+        """,
+        "string_length_stats": """
+            SELECT count(*) AS row_count,
+                   CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+                   count(DISTINCT c_name) AS distinct_count,
+                   CAST(min(len(c_name)) AS BIGINT) AS min_length,
+                   CAST(max(len(c_name)) AS BIGINT) AS max_length,
+                   CAST(round(avg(len(c_name)), 4) AS DOUBLE) AS avg_length
+            FROM customer
         """,
         "lsh_topk": _LSH_TOPK_SQL,
         "ivf_assign": """

@@ -58,6 +58,28 @@ class CleaningPattern:
     rule: str | None = None
 
 
+def learned_patterns_df(
+    audit_df: DataFrame,
+    min_support: int = 1,
+    min_confidence: float = LEARN_MIN_CONFIDENCE,
+) -> DataFrame:
+    """The learner's distributed core as a plain DataFrame plan: one
+    aggregation over the audit table → (column, original, cleaned,
+    frequency, confidence). SQL-expressible, so the driver oracle can replay
+    it over an independently derived audit."""
+    return (
+        audit_df.filter(
+            (F.col("confidence") >= min_confidence) & F.col("cleaned").isNotNull()
+        )
+        .groupBy("column", "original", "cleaned")
+        .agg(
+            F.count(F.lit(1)).alias("frequency"),
+            F.max("confidence").alias("confidence"),
+        )
+        .filter(F.col("frequency") >= min_support)
+    )
+
+
 def learn_patterns(
     audit_df: DataFrame,
     min_support: int = 2,
@@ -73,14 +95,7 @@ def learn_patterns(
     (column, input) tie-break.
     """
     rows = (
-        audit_df.filter(
-            (F.col("confidence") >= min_confidence) & F.col("cleaned").isNotNull()
-        )
-        .groupBy("column", "original", "cleaned")
-        .agg(
-            F.count(F.lit(1)).alias("frequency"),
-            F.max("confidence").alias("confidence"),
-        )
+        learned_patterns_df(audit_df, min_support=1, min_confidence=min_confidence)
         .orderBy(
             F.desc(F.col("frequency") * F.col("confidence")),
             F.asc("column"),

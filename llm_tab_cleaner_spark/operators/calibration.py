@@ -153,39 +153,63 @@ def fit_calibrator(
     return Calibrator("histogram", edges[:-1], vals)
 
 
-def calibration_metrics(
+def calibration_metrics_df(
     df: DataFrame, conf_col: str = "confidence", label_col: str = "correct", n_bins: int = 10
-) -> dict:
-    """Brier, log-loss, reliability, sharpness in ONE distributed pass
-    (confidence.py:156-195, 335-371 recast as aggregations)."""
+) -> DataFrame:
+    """A18 as ONE-row DataFrame, fully distributed: Brier + log-loss from a
+    scalar agg, reliability/sharpness from the ≤n_bins per-bin frame (two
+    tiny aggregations + broadcast cross-joins — nothing driver-side), so the
+    plan is a valid engine query and DuckDB-oracle-comparable. Mirrors the
+    reference confidence.py:156-195, 335-371 formulas."""
     c = F.col(conf_col)
     y = F.col(label_col).cast("double")
     eps = 1e-15
     cl = F.greatest(F.least(c, F.lit(1 - eps)), F.lit(eps))
     binc = F.least(F.floor(c * n_bins), F.lit(n_bins - 1))
-    per_bin = (
-        df.groupBy(binc.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(c).alias("avg_conf"),
-            F.avg(y).alias("avg_label"),
-            F.avg(y * (1 - y)).alias("_v"),
-        )
-    ).toPandas()
+    per_bin = df.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(c).alias("avg_conf"),
+        F.avg(y).alias("avg_label"),
+    )
     scalar = df.agg(
         F.avg(F.pow(c - y, 2)).alias("brier"),
         F.avg(-(y * F.log(cl) + (1 - y) * F.log(1 - cl))).alias("log_loss"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    total = float(scalar["n"]) or 1.0
-    w = per_bin["n"] / total
-    reliability = float((w * (per_bin["avg_conf"] - per_bin["avg_label"]) ** 2).sum())
-    overall = float((per_bin["avg_label"] * per_bin["n"]).sum() / total)
-    sharpness = float((w * (per_bin["avg_label"] - overall) ** 2).sum())
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    lvl1 = per_bin.agg(
+        F.sum("n").alias("_total"),
+        F.sum(F.col("n") * F.pow(F.col("avg_conf") - F.col("avg_label"), 2)).alias("_rel"),
+        F.sum(F.col("avg_label") * F.col("n")).alias("_lab"),
+    )
+    sharp = (
+        per_bin.crossJoin(F.broadcast(lvl1))
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(F.col("avg_label") - F.col("_lab") / F.col("_total"), 2)
+            ).alias("_sharp"),
+            F.first(F.col("_rel") / F.col("_total")).alias("reliability"),
+            F.first("_total").alias("_t"),
+        )
+        .select(
+            "reliability", (F.col("_sharp") / F.col("_t")).alias("sharpness")
+        )
+    )
+    return scalar.crossJoin(F.broadcast(sharp)).select(
+        "brier", "log_loss", "reliability", "sharpness", "n_samples"
+    )
+
+
+def calibration_metrics(
+    df: DataFrame, conf_col: str = "confidence", label_col: str = "correct", n_bins: int = 10
+) -> dict:
+    """Brier, log-loss, reliability, sharpness (confidence.py:156-195,
+    335-371) — driver dict over calibration_metrics_df's distributed plan."""
+    row = calibration_metrics_df(df, conf_col, label_col, n_bins).collect()[0]
     return {
-        "brier_score": float(scalar["brier"]),
-        "log_loss": float(scalar["log_loss"]),
-        "reliability": reliability,
-        "sharpness": sharpness,
-        "n_samples": int(total),
+        "brier_score": float(row["brier"]),
+        "log_loss": float(row["log_loss"]),
+        "reliability": float(row["reliability"]),
+        "sharpness": float(row["sharpness"]),
+        "n_samples": int(row["n_samples"]),
     }
