@@ -6,9 +6,17 @@ table synthesized deterministically at a size matching the SF dir
 (BASELINE.json: "files/sec on Iceberg code-repo table at SF=0.1"), plus
 per-query wall times for the operator suite on the driver's parquet tables.
 
-Scaling evidence (north_rule N→4N): run with SPARK_GRAFT_SCALING=1 to also
-measure the same quality-filter job at local[N] and local[4N] (N = cpus/4)
-and report efficiency = (throughput_4N / throughput_N) / 4.
+Scaling evidence (north_rule N→4N): ON BY DEFAULT — the same quality-filter
+job runs at local[N] and local[4N] (N = $SPARK_GRAFT_SCALING_N, default 1)
+and the JSON reports throughput at both, efficiency =
+(throughput_4N / throughput_N) / 4, and /proc CPU-seconds per leg
+(work_conservation = cpu_4N / cpu_N — the contention-immune half of the
+claim on a host whose wall clock swings ±2-5×). N defaults to 1 because
+this VM's shared memory hierarchy saturates around 8 byte-streaming
+workers (BENCH/BASELINE.md "Throughput"): 1→4 is the pair that measures
+the ENGINE, 8→32 measures the host. Disable with SPARK_GRAFT_SCALING=0.
+SPARK_GRAFT_SCALING_CONTROL=1 adds a pure-compute control pair (sha2 over
+range — tiny working set) that separates engine overhead from host limits.
 """
 
 from __future__ import annotations
@@ -143,18 +151,51 @@ def run_quality_filter(
     return min(times), n, cpu_per_run
 
 
+def run_compute_control(cpus: int, rows: int = 100_000_000) -> tuple[float, float]:
+    """Pure-compute control leg (sha2 over range, tiny working set): scales
+    ~linearly wherever the host actually grants cores — separates engine
+    overhead from host bandwidth/SMT limits in the scaling evidence."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from llm_tab_cleaner_spark.session import build_session
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = build_session(app_name=f"bench_ctl_{cpus}", cpus=cpus)
+    df = spark.range(0, rows, 1, numPartitions=max(cpus * 8, 16))
+    expr = F.sum(
+        (F.sha2(F.col("id").cast("string"), 256).substr(1, 4) == F.lit("ffff")).cast("long")
+    )
+    best, cpu0 = float("inf"), None
+    for i in range(3):
+        if i == 1:
+            cpu0 = _cpu_seconds_tree()
+        t0 = time.time()
+        df.agg(expr.alias("n")).collect()
+        if i > 0:
+            best = min(best, time.time() - t0)
+    cpu = (_cpu_seconds_tree() - cpu0) / 2
+    spark.stop()
+    return best, cpu
+
+
 def main() -> None:
     queries_sec: dict[str, float] = {}
 
-    # 0) optional N (=cpus/4 or $SPARK_GRAFT_SCALING_N) leg of the scaling
-    # evidence, before the headline
-    scaling_small = None
-    if os.environ.get("SPARK_GRAFT_SCALING"):
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "0")) or max(1, CPUS // 4)
-        t_small, _, cpu_small = run_quality_filter(n_small, N_FILES)
-        scaling_small = (n_small, t_small, cpu_small)
+    # 0) N→4N scaling legs (default N=1 → local[1] vs local[4]; see module
+    # docstring for why small N measures the engine on this host), 2 repeats
+    # each to bound added runtime
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "0")) or 1
+        n_big = 4 * n_small
+        t_small, _, cpu_small = run_quality_filter(n_small, N_FILES, repeats=2)
+        t_big, _, cpu_big = run_quality_filter(n_big, N_FILES, repeats=2)
+        scaling = (n_small, t_small, cpu_small, n_big, t_big, cpu_big)
 
-    # 1) headline: quality-filter files/sec at full CPUs (the 4N leg)
+    # 1) headline: quality-filter files/sec at full CPUs
     qf_sec, _kept, qf_cpu = run_quality_filter(CPUS, N_FILES)
     files_per_sec = N_FILES / qf_sec
     queries_sec["quality_filter"] = round(qf_sec, 3)
@@ -192,24 +233,31 @@ def main() -> None:
         "cpu_seconds": {"quality_filter": round(qf_cpu, 2)},
     }
 
-    # 3) N→4N scaling evidence (headline run doubles as the 4N leg)
-    if scaling_small is not None:
-        n_small, t_small, cpu_small = scaling_small
+    # 3) N→4N scaling evidence (interleaved adjacent legs, CPU-metered)
+    if scaling is not None:
+        n_small, t_small, cpu_small, n_big, t_big, cpu_big = scaling
         thr_small = N_FILES / t_small
-        thr_big = files_per_sec
+        thr_big = N_FILES / t_big
         out["scaling"] = {
             "cpus_n": n_small,
-            "cpus_4n": CPUS,
+            "cpus_4n": n_big,
             "files_per_sec_n": round(thr_small, 1),
             "files_per_sec_4n": round(thr_big, 1),
-            "efficiency": round((thr_big / thr_small) / (CPUS / n_small), 3),
+            "efficiency": round((thr_big / thr_small) / (n_big / n_small), 3),
             # work conservation: CPU-seconds per pass at N vs 4N cores —
             # ~1.0 means 4N does the same total work (no parallel overhead
             # explosion), the scaling claim's contention-immune half
             "cpu_seconds_n": round(cpu_small, 2),
-            "cpu_seconds_4n": round(qf_cpu, 2),
-            "work_conservation": round(qf_cpu / cpu_small, 3) if cpu_small else None,
+            "cpu_seconds_4n": round(cpu_big, 2),
+            "work_conservation": round(cpu_big / cpu_small, 3) if cpu_small else None,
         }
+        if os.environ.get("SPARK_GRAFT_SCALING_CONTROL"):
+            ct_n, cc_n = run_compute_control(n_small)
+            ct_b, cc_b = run_compute_control(n_big)
+            out["scaling"]["control"] = {
+                "wall_efficiency": round((ct_n / ct_b) / (n_big / n_small), 3),
+                "work_conservation": round(cc_b / cc_n, 3) if cc_n else None,
+            }
 
     print(json.dumps(out))
 

@@ -117,6 +117,46 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_session_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ST6+: native stateful SESSION windows — events from one user closer
+    than ``gap`` merge into one session; a session emits (append mode) once
+    the watermark passes its end; rows later than ``watermark`` are dropped.
+    The engine-native streaming form of the batch ``event_sessions`` query
+    (lag + running-sum sessionization): same gap-merge semantics, but state
+    lives in the streaming state store — sharded by the groupBy key across
+    executors, checkpointed with the query — instead of a window shuffle.
+    At 100 TB the state holds one open session per active user, bounded by
+    the watermark horizon.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("session"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def clean_stream(
     stream_df: DataFrame,
     spark: SparkSession,

@@ -46,6 +46,53 @@ def test_windowed_stream_with_watermark(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_streaming_session_windows(spark, tmp_path):
+    """Stateful session windows on a real stream: events within the gap
+    merge, sessions emit once the watermark passes, and the result matches
+    the batch session_window aggregation for closed sessions."""
+    from llm_tab_cleaner_spark.streaming.stream_clean import streaming_session_stats
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: two events 10 min apart → ONE session (gap 30 min)
+        {"ts": base, "user_id": 1, "event_type": "a", "value": 1.0},
+        {"ts": base + pd.Timedelta("10min"), "user_id": 1, "event_type": "a", "value": 2.0},
+        # user 1: an event 2 h later → a SECOND session
+        {"ts": base + pd.Timedelta("2h"), "user_id": 1, "event_type": "a", "value": 4.0},
+        # user 2: single event
+        {"ts": base + pd.Timedelta("5min"), "user_id": 2, "event_type": "b", "value": 8.0},
+    ]
+    flush = [  # far-future row advances the watermark past every session end
+        {"ts": base + pd.Timedelta("12h"), "user_id": 9, "event_type": "z", "value": 0.0},
+    ]
+    src = str(tmp_path / "sess_src")
+    sdf1 = spark.createDataFrame(pd.DataFrame(rows))
+    sdf1.coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(pd.DataFrame(flush)).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(sdf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_session_stats(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT user_id, n_events, sum_value FROM sess_out ORDER BY user_id, sum_value"
+    ).toPandas()
+    # closed sessions: user1 × 2 (merged pair, then the 2h-later single),
+    # user2 × 1; the flush user's own session stays open (not emitted)
+    assert got.values.tolist() == [[1, 2, 3.0], [1, 1, 4.0], [2, 1, 8.0]]
+
+
 def test_tokenize_expr(spark):
     from llm_tab_cleaner_spark.functions.pii import tokenize_expr
 
