@@ -167,7 +167,14 @@ class ScoringModel:
 
     # ---- batch scoring (vectorized across all rows of an Arrow batch) ----
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
-        raw = [t.encode("utf-8", "replace") if isinstance(t, str) else b"" for t in texts]
+        # bytes rows come from the UDF's JVM-side encode() (a free
+        # reinterpret for UTF-8 strings) — no per-row Python encode; str
+        # rows (tests, direct callers) still work
+        raw = [
+            t if isinstance(t, bytes)
+            else (t.encode("utf-8", "replace") if isinstance(t, str) else b"")
+            for t in texts
+        ]
         lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
         blob = np.frombuffer(b"".join(raw), dtype=np.uint8)
         n = len(raw)
@@ -316,7 +323,10 @@ def with_scores(df, content_col: str, spark: SparkSession, model: ScoringModel |
     rule references can never re-evaluate them (Catalyst inlines derived
     predicates through filters; an ArrowEvalPython output cannot be)."""
     udf, model = make_score_udf(spark, model)
-    scored = df.withColumn("_score", udf(F.col(content_col)))
+    # encode() JVM-side: UTF8String → binary is a reinterpret (no copy, no
+    # codec pass), and the Arrow binary column reaches the UDF as bytes —
+    # dropping the per-row Python str.encode the scorer otherwise pays
+    scored = df.withColumn("_score", udf(F.encode(F.col(content_col), "UTF-8")))
     out = scored
     for field in (
         "lang_pred", "lang_margin", "ppl_bits",

@@ -72,6 +72,54 @@ def test_platt_outputs_probabilities(pairs):
     assert ((p > 0) & (p < 1)).all()
 
 
+_JAVA_WS = " \t\n\x0b\x0c\r"
+
+
+def _naive_distinct_ngrams(text: str, n: int) -> int:
+    """Independent (pure-Python) distinct token-n-gram count using the same
+    ASCII-whitespace token boundaries as the numpy kernel (Java \\s set —
+    NOT str.split(), which also splits on unicode whitespace)."""
+    toks = [t for t in re.split(f"[{re.escape(_JAVA_WS)}]+", text) if t]
+    return len({tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=10), st.integers(2, 4))
+@settings(max_examples=200, deadline=None)
+def test_ngram_hash_count_matches_naive(texts, n):
+    """The vectorized gram hasher yields exactly one hash per DISTINCT token
+    n-gram (64-bit collisions are ~impossible at test sizes), and a row's
+    grams never depend on batch composition."""
+    from llm_tab_cleaner_spark.operators.dedup import _batch_token_ngram_hashes
+
+    batch = _batch_token_ngram_hashes(pd.Series(texts), n)
+    assert len(batch) == len(texts)
+    for t, grams in zip(texts, batch):
+        assert len(grams) == _naive_distinct_ngrams(t, n)
+        solo = _batch_token_ngram_hashes(pd.Series([t]), n)[0]
+        assert np.array_equal(np.sort(solo), np.sort(grams))
+
+
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_scorer_token_stats_match_naive(texts):
+    """n_tokens / n_distinct_tokens from the packed-sort scorer kernel match
+    an independent pure-Python count on arbitrary unicode input."""
+    from llm_tab_cleaner_spark.functions.scoring import _batch_text_stats
+
+    raw = [t.encode("utf-8", "replace") for t in texts]
+    lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    blob = np.frombuffer(b"".join(raw), dtype=np.uint8)
+    byte_row = np.repeat(np.arange(len(raw), dtype=np.int32), lens)
+    nt, nd, _uniq, _alnum = _batch_text_stats(blob, lens, byte_row, len(raw))
+    for i, t in enumerate(texts):
+        # token boundaries are BYTE-level ASCII whitespace on the utf-8
+        # encoding ('replace' maps unencodable surrogates like the kernel)
+        enc = t.encode("utf-8", "replace").decode("utf-8")
+        toks = [x for x in re.split(f"[{re.escape(_JAVA_WS)}]+", enc) if x]
+        assert nt[i] == len(toks)
+        assert nd[i] == len(set(toks))
+
+
 @given(st.lists(st.text(max_size=80), min_size=1, max_size=12), st.randoms())
 @settings(max_examples=150, deadline=None)
 def test_simhash_batch_composition_invariance(texts, rnd):
