@@ -660,6 +660,34 @@ def _q_string_length_stats(spark, sf):
     )
 
 
+def _q_deterministic_sample(spark, sf):
+    """P13 at scale: reproducible hash-based sampling (md5-fraction filter,
+    pushdown-able, partition-independent) — membership replayed exactly by
+    the DuckDB oracle, which df.sample could never be."""
+    from llm_tab_cleaner_spark.functions.sampling import hash_fraction, hash_sample
+
+    d = _t(spark, sf, "documents")
+    out = hash_sample(d, "doc_id", 0.25)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(hash_fraction(F.col("doc_id")), 6).alias("frac"),
+    )
+
+
+def _q_dataset_splits(spark, sf):
+    """Deterministic train/val/test assignment from the same hash fraction —
+    disjoint + exhaustive by construction; per-split counts oracled."""
+    from llm_tab_cleaner_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf, "documents")
+    label = hash_split(F.col("doc_id"), [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    return (
+        d.select(label.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
 # ---- embeddings / similarity ----
 
 def _query_vec(spark, sf):
@@ -869,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
+        "deterministic_sample": _q_deterministic_sample,
+        "dataset_splits": _q_dataset_splits,
         "calibration_metrics": _q_calibration_metrics,
         "string_length_stats": _q_string_length_stats,
         "cosine_topk": _q_cosine_topk,
@@ -1433,6 +1463,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE confidence >= 0.8 AND cleaned IS NOT NULL
             GROUP BY col_name, original, cleaned
             HAVING count(*) >= 2
+        """,
+        "deterministic_sample": """
+            SELECT doc_id,
+                   round(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+                         / 4294967296.0, 6) AS frac
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+                  / 4294967296.0 < 0.25
+        """,
+        "dataset_splits": """
+            WITH f AS (
+              SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+                     / 4294967296.0 AS frac
+              FROM documents
+            )
+            SELECT CASE WHEN frac < 0.8 THEN 'train'
+                        WHEN frac < 0.9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS cnt
+            FROM f GROUP BY 1
         """,
         "calibration_metrics": """
             WITH labeled AS (

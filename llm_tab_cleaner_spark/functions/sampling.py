@@ -1,0 +1,61 @@
+"""Deterministic hash-based sampling & dataset splitting.
+
+The reference samples with ``df.sample`` (P13, core.py:352-358;
+distributed.py:294-299) — RNG- and partition-dependent, so two runs (or two
+cluster sizes) select different rows. A 100 TB training-data pipeline needs
+REPRODUCIBLE selection: the same sample/split membership regardless of
+partitioning, parallelism, retries, or engine. ``hash_fraction`` maps a key
+column to uniform [0, 1) via the first 8 hex chars of md5 — identical
+arithmetic in Spark SQL (`conv(substr(md5(x),1,8),16,10)/2^32`), Python
+(`int(hashlib.md5(x).hexdigest()[:8], 16)/2^32`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,8) AS UBIGINT)/2^32`) — so:
+
+* sampling is a plain FILTER (pushdown-able to the scan, no shuffle, no
+  state, no seed plumbing);
+* train/val/test splitting is a when-chain over cumulative fraction bounds
+  (disjoint and exhaustive by construction);
+* the driver oracle replays membership exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = float(1 << 32)
+
+
+def hash_fraction(col: Column) -> Column:
+    """Deterministic uniform [0, 1) from a key column (md5-prefix / 2^32)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(_DENOM)
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Reproducible sample: keep rows whose hash_fraction(key) < fraction.
+    Membership depends only on the key value — stable across partitioning,
+    cluster size, and reruns (unlike df.sample)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_fraction(F.col(key_col)) < fraction)
+
+
+def hash_split(col: Column, splits: list[tuple[str, float]]) -> Column:
+    """Split label per row from cumulative hash-fraction bounds, e.g.
+    ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Fractions must sum to
+    1 (±1e-9); the last split absorbs the boundary so labels are exhaustive
+    and disjoint by construction."""
+    total = sum(f for _n, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    frac = hash_fraction(col)
+    expr: Column | None = None
+    upper = 0.0
+    for name, f in splits[:-1]:
+        upper += f
+        clause = frac < F.lit(upper)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    last = F.lit(splits[-1][0])
+    return last if expr is None else expr.otherwise(last)

@@ -1,0 +1,49 @@
+"""Deterministic hash sampling/splitting: partition-independent membership,
+fraction accuracy, disjoint + exhaustive splits."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions.sampling import hash_fraction, hash_sample, hash_split
+
+
+def test_hash_sample_partition_independent(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = sorted(r.k for r in hash_sample(df, "k", 0.3).collect())
+    b = sorted(r.k for r in hash_sample(df.repartition(13), "k", 0.3).collect())
+    assert a == b  # membership depends only on the key, never partitioning
+    # fraction lands near the target (md5 is uniform)
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_hash_fraction_matches_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame(pd.DataFrame({"k": ["42", "abc", "", "x y"]}))
+    got = {r.k: r.f for r in df.select("k", F.round(hash_fraction(F.col("k")), 9).alias("f")).collect()}
+    for k in ["42", "abc", "", "x y"]:
+        want = int(hashlib.md5(k.encode()).hexdigest()[:8], 16) / 2**32
+        assert got[k] == round(want, 9)
+
+
+def test_hash_split_disjoint_exhaustive(spark):
+    df = spark.range(0, 3000).withColumnRenamed("id", "k")
+    lab = hash_split(F.col("k"), [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    counts = {r.split: r.cnt for r in df.select(lab.alias("split")).groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == 3000  # exhaustive
+    assert 0.75 < counts["train"] / 3000 < 0.85
+    assert counts.keys() == {"train", "val", "test"}
+    # same rows land in the same split after a reshuffle
+    again = {r.split: r.cnt for r in df.repartition(17).select(lab.alias("split")).groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts == again
+
+
+def test_hash_split_validation():
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(F.col("k"), [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="fraction"):
+        from pyspark.sql import SparkSession
+        hash_sample(None, "k", 1.5)
