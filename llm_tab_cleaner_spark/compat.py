@@ -270,6 +270,256 @@ class IncrementalCleaner:
         }
 
 
+from llm_tab_cleaner_spark.operators.profiler import (  # noqa: E402,F401 (compat re-export)
+    ColumnProfile,
+    TableProfile,
+)
+
+
+class LocalProvider:
+    """Deterministic mirror of the reference LocalProvider
+    (llm_providers.py:356-498): the rule-based clean_value/analyze_column
+    surface ported call sites use, with identical confidences and
+    transforms. No LLM anywhere — this is already the deterministic path."""
+
+    def __init__(self, **kwargs):
+        self.config = kwargs
+
+    def clean_value(self, value, column_name: str, context: dict | None = None):
+        # llm_providers.py:370-404, line for line
+        if value is None or value == "":
+            return None, 1.0
+        value_str = str(value).strip()
+        if value_str.lower() in ["n/a", "na", "null", "none", "missing"]:
+            return None, 0.9
+        if "date" in column_name.lower():
+            cleaned = value_str.replace("/", "-").replace(".", "-")
+            if cleaned != value_str:
+                return cleaned, 0.8
+        if "phone" in column_name.lower():
+            import re as _re
+
+            cleaned = _re.sub(r"[^\d\s\-]", "", value_str).strip()
+            if cleaned != value_str:
+                return cleaned, 0.85
+        if "email" in column_name.lower():
+            cleaned = value_str.lower().strip()
+            if cleaned != value_str:
+                return cleaned, 0.9
+        return value, 1.0
+
+    def analyze_column(self, values: list, column_name: str) -> dict:
+        # llm_providers.py:406-448 (patterns/anomalies/quality heuristics)
+        non_null = [v for v in values if v is not None and str(v).strip()]
+        if not non_null:
+            return {
+                "patterns": ["All null values"],
+                "anomalies": [],
+                "suggestions": ["Consider removing column or investigating data source"],
+                "data_type": "unknown",
+                "quality_score": 0.0,
+            }
+        patterns, anomalies, suggestions = [], [], []
+        low = column_name.lower()
+        if "date" in low:
+            patterns.append("Date/time column")
+            suggestions.append("Standardize date format")
+        if "email" in low:
+            patterns.append("Email column")
+            for val in non_null[:10]:
+                if "@" not in str(val):
+                    anomalies.append({"value": val, "issue": "Invalid email format"})
+        if "phone" in low:
+            patterns.append("Phone number column")
+            suggestions.append("Standardize phone format")
+        null_ratio = (len(values) - len(non_null)) / len(values)
+        return {
+            "patterns": patterns,
+            "anomalies": anomalies,
+            "suggestions": suggestions,
+            "data_type": self._infer_type(non_null),
+            "quality_score": max(0.0, 1.0 - null_ratio - len(anomalies) / len(values)),
+        }
+
+    @staticmethod
+    def _infer_type(values: list) -> str:
+        if not values:
+            return "unknown"
+        sample = values[:10]
+        try:
+            [float(v) for v in sample]
+            return "numeric"
+        except (ValueError, TypeError):
+            pass
+        if any("date" in str(v).lower() or "/" in str(v) or "-" in str(v) for v in sample):
+            return "date"
+        if any("@" in str(v) for v in sample):
+            return "email"
+        return "text"
+
+
+class _UnavailableLLMProvider:
+    """Importable stand-ins for the reference's live API providers
+    (llm_providers.py:89-263): this engine is hermetic BY DESIGN — the
+    deterministic scorer + rule table replace per-value LLM calls (see
+    README / SURVEY §2.3 T15). Construction fails with direction, so ported
+    imports survive but accidental live-call paths do not."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            f"{type(self).__name__} is deliberately not implemented: the engine "
+            "replaces live LLM calls with the deterministic scorer + rule table "
+            "(functions/scoring.py, operators/rules.py). Use get_provider('local')."
+        )
+
+
+class AnthropicProvider(_UnavailableLLMProvider):
+    pass
+
+
+class OpenAIProvider(_UnavailableLLMProvider):
+    pass
+
+
+def get_provider(provider_name: str, **kwargs):
+    """Reference factory (llm_providers.py:501-521), same error contract."""
+    providers = {
+        "anthropic": AnthropicProvider,
+        "openai": OpenAIProvider,
+        "local": LocalProvider,
+    }
+    if provider_name not in providers:
+        raise ValueError(
+            f"Unknown provider: {provider_name}. Available: {list(providers.keys())}"
+        )
+    return providers[provider_name](**kwargs)
+
+
+@dataclass
+class CalibrationMetrics:
+    """Reference CalibrationMetrics (confidence.py:27-33) shape."""
+
+    brier_score: float
+    log_loss: float
+    reliability: float
+    sharpness: float
+    calibration_bins: list  # (bin_center, accuracy, count)
+
+
+def compute_calibration_metrics(
+    df: DataFrame, conf_col: str = "confidence", label_col: str = "correct", n_bins: int = 10
+) -> CalibrationMetrics:
+    """A18 as the reference-shaped dataclass, computed distributed
+    (calibration_metrics_df + one per-bin pass)."""
+    from llm_tab_cleaner_spark.operators.calibration import calibration_metrics
+    from llm_tab_cleaner_spark.operators.profiler import calibration_bins
+
+    m = calibration_metrics(df, conf_col, label_col, n_bins)
+    bins = [
+        ((b["bin"] + 0.5) / n_bins, float(b["avg_label"]), int(b["cnt"]))
+        for b in calibration_bins(df, conf_col, label_col, n_bins).collect()
+    ]
+    return CalibrationMetrics(
+        brier_score=m["brier_score"],
+        log_loss=m["log_loss"],
+        reliability=m["reliability"],
+        sharpness=m["sharpness"],
+        calibration_bins=sorted(bins),
+    )
+
+
+class EnsembleCalibrator:
+    """Reference EnsembleCalibrator (confidence.py:382-421): weighted
+    average of fitted calibrators, clipped to [0, 1]. Adds ``expr(col)`` —
+    the ensemble compiled to ONE native Column (weighted sum of each
+    member's when-chain/sigmoid), so it can ride PipelineConfig.calibrator
+    distributed like a single calibrator."""
+
+    def __init__(self, calibrators: list, weights: list[float] | None = None):
+        self.calibrators = calibrators
+        self.weights = weights or [1.0 / len(calibrators)] * len(calibrators)
+        if len(self.weights) != len(calibrators):
+            raise ValueError("Number of weights must match number of calibrators")
+        if not all(c.is_fitted for c in calibrators):
+            raise ValueError("All calibrators must be fitted")
+
+    def calibrate(self, confidences):
+        import numpy as np
+
+        conf = np.asarray(list(confidences), dtype=np.float64)
+        out = sum(
+            w * np.asarray(c.calibrate(conf), dtype=np.float64)
+            for w, c in zip(self.weights, self.calibrators)
+        )
+        return np.clip(out, 0.0, 1.0)
+
+    def expr(self, conf_col):
+        combined = None
+        for w, c in zip(self.weights, self.calibrators):
+            term = F.lit(float(w)) * c.expr(conf_col)
+            combined = term if combined is None else combined + term
+        return F.greatest(F.least(combined, F.lit(1.0)), F.lit(0.0))
+
+
+def create_ensemble_calibrator(calibrators: list, weights: list[float] | None = None):
+    """Reference factory (confidence.py:374-380)."""
+    return EnsembleCalibrator(calibrators, weights)
+
+
+class StreamingCleaner:
+    """Reference StreamingCleaner (spark.py:342-411) surface over the
+    engine's Structured Streaming stage: same ctor args (``llm_provider``
+    accepted and ignored — the deterministic scorer replaces it), same
+    clean_stream(input_stream, output_path, trigger_interval) call shape.
+    Sink is parquet (no delta jar in this environment; swap the format for
+    delta/iceberg where the runtime ships it)."""
+
+    def __init__(
+        self,
+        spark,
+        llm_provider: str = "local",
+        confidence_threshold: float = 0.85,
+        checkpoint_location: str = "/tmp/streaming_cleaner_checkpoint",
+    ):
+        self.spark = spark
+        self.llm_provider = llm_provider
+        self.confidence_threshold = confidence_threshold
+        self.checkpoint_location = checkpoint_location
+
+    def clean_stream(
+        self,
+        input_stream,
+        output_path: str,
+        trigger_interval: str = "10 seconds",
+        columns: list[str] | None = None,
+    ):
+        from llm_tab_cleaner_spark.streaming.stream_clean import clean_stream
+
+        seconds = int(str(trigger_interval).split()[0])
+        return clean_stream(
+            input_stream,
+            self.spark,
+            output_dir=output_path,
+            checkpoint_dir=self.checkpoint_location,
+            threshold=self.confidence_threshold,
+            trigger_seconds=seconds,
+        )
+
+
+def create_spark_cleaner(spark=None, **kwargs) -> "SparkCleaner":
+    """Reference factory (spark.py:414-428): AQE/Kryo configs are what
+    session.build_session already sets; an active session is reused."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            from llm_tab_cleaner_spark.session import build_session
+
+            spark = build_session(app_name="LLM-Tab-Cleaner-Distributed")
+    return SparkCleaner(**kwargs)
+
+
 @dataclass
 class SparkCleaner:
     """Distributed file-cleaning surface (spark.py:40-156): the quality-filter

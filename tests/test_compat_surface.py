@@ -94,3 +94,104 @@ def test_fixes_from_audit(spark):
     assert isinstance(f, Fix) and f.column == "state"
     assert f.original == "california" and f.cleaned == "CA"
     assert f.rule_applied == "state_standardization"
+
+
+def test_local_provider_surface():
+    from llm_tab_cleaner_spark.compat import LocalProvider, get_provider
+
+    p = get_provider("local")
+    assert isinstance(p, LocalProvider)
+    assert p.clean_value(None, "x", {}) == (None, 1.0)
+    assert p.clean_value("N/A", "x", {}) == (None, 0.9)
+    assert p.clean_value("12/31/2020", "birth_date", {}) == ("12-31-2020", 0.8)
+    assert p.clean_value("(555) 123-4567", "phone", {}) == ("555 123-4567", 0.85)
+    assert p.clean_value("A@B.COM", "email", {}) == ("a@b.com", 0.9)
+    assert p.clean_value("fine", "note", {}) == ("fine", 1.0)
+    rep = p.analyze_column(["a@x.com", "nope", None], "email")
+    assert rep["data_type"] == "email" and len(rep["anomalies"]) == 1
+
+
+def test_live_providers_deliberately_unavailable():
+    import pytest as _pytest
+
+    from llm_tab_cleaner_spark.compat import get_provider
+
+    with _pytest.raises(NotImplementedError, match="deterministic scorer"):
+        get_provider("anthropic")
+    with _pytest.raises(ValueError, match="Unknown provider"):
+        get_provider("nope")
+
+
+def test_ensemble_calibrator(spark):
+    import numpy as np
+
+    from llm_tab_cleaner_spark.compat import ConfidenceCalibrator, create_ensemble_calibrator
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    conf = rng.uniform(0, 1, 200)
+    labels = rng.uniform(0, 1, 200) < conf  # roughly calibrated
+    a = ConfidenceCalibrator("isotonic").fit(conf, labels)
+    b = ConfidenceCalibrator("sigmoid").fit(conf, labels)
+    ens = create_ensemble_calibrator([a, b], [0.7, 0.3])
+    probe = np.array([0.1, 0.5, 0.9])
+    got = ens.calibrate(probe)
+    want = np.clip(0.7 * a.calibrate(probe) + 0.3 * b.calibrate(probe), 0, 1)
+    assert np.allclose(got, want)
+    # the compiled Column matches the numpy path (distributed application)
+    df = spark.createDataFrame([(float(x),) for x in probe], "c double")
+    col = ens.expr(F.col("c"))
+    rows = df.select(F.round(col, 9).alias("v")).collect()
+    assert np.allclose([r.v for r in rows], np.round(want, 9))
+
+
+def test_calibration_metrics_dataclass(spark):
+    import pandas as pd
+
+    from llm_tab_cleaner_spark.compat import CalibrationMetrics, compute_calibration_metrics
+
+    pdf = pd.DataFrame({"confidence": [0.1, 0.4, 0.6, 0.9] * 10,
+                        "correct": [0.0, 0.0, 1.0, 1.0] * 10})
+    m = compute_calibration_metrics(spark.createDataFrame(pdf))
+    assert isinstance(m, CalibrationMetrics)
+    assert 0 <= m.brier_score <= 1 and m.log_loss > 0
+    assert len(m.calibration_bins) == 4
+    centers = [b[0] for b in m.calibration_bins]
+    assert centers == sorted(centers)
+
+
+def test_streaming_cleaner_compat(spark, code_files_small, tmp_path):
+    import os as _os
+
+    from llm_tab_cleaner_spark.compat import StreamingCleaner
+    from llm_tab_cleaner_spark.streaming.stream_clean import file_stream_source
+
+    cf, _ = code_files_small
+    src = str(tmp_path / "ssrc")
+    _os.makedirs(src)
+    spark.createDataFrame(cf.iloc[:80]).coalesce(1).write.mode("append").parquet(src)
+    cleaner = StreamingCleaner(
+        spark, checkpoint_location=str(tmp_path / "sckpt"), confidence_threshold=0.8
+    )
+    q = cleaner.clean_stream(
+        file_stream_source(spark, src), str(tmp_path / "sout"), "1 seconds"
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    n = 0
+    while _time.time() < deadline and n < 80:
+        _time.sleep(2)
+        try:
+            n = spark.read.parquet(str(tmp_path / "sout")).count()
+        except Exception:  # sink dir not committed yet
+            n = 0
+    q.stop()
+    assert n == 80
+
+
+def test_create_spark_cleaner(spark):
+    from llm_tab_cleaner_spark.compat import SparkCleaner, create_spark_cleaner
+
+    c = create_spark_cleaner(spark, confidence_threshold=0.9)
+    assert isinstance(c, SparkCleaner) and c.confidence_threshold == 0.9
