@@ -343,6 +343,7 @@ def embedding_near_dup_pairs(
     bands: int = 16,
     planes_per_band: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
@@ -369,6 +370,17 @@ def embedding_near_dup_pairs(
         banded = b.select(
             id_col, F.posexplode("buckets").alias("band", "bucket")
         )
+        # hot-bucket cap (same guard as lsh_candidate_pairs / simhash):
+        # zero/degenerate vectors all sign-hash to one bucket per band — a
+        # quadratic reducer at corpus scale; clusters that big are
+        # exact-dup material, not near-dup candidates
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"])
         a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
         c = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
         cand = (
