@@ -45,6 +45,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "--sample-rate", type=float, default=1.0,
         help="Fraction of rows to process (default: 1.0)",
     )
+    c.add_argument(
+        "--sample-key",
+        help="Column for DETERMINISTIC sampling: rows where the md5 hash "
+        "fraction of this key < --sample-rate are kept — membership is "
+        "reproducible across runs/partitioning/cluster sizes (df.sample is "
+        "not)",
+    )
     c.add_argument("--mode", choices=["rules", "quality-filter"], default="rules")
     c.add_argument("--save-report", action="store_true", help="Write <output>.report.json")
     c.add_argument("--audit", help="Also write the audit table to this path (parquet)")
@@ -78,7 +85,12 @@ def _clean(args, spark) -> None:
     _validate(args)
     df = load_table(spark, args.input_file)
     if args.sample_rate < 1.0:
-        df = df.sample(fraction=args.sample_rate, seed=42)  # P13 (core.py:352-358)
+        if args.sample_key:
+            from llm_tab_cleaner_spark.functions.sampling import hash_sample
+
+            df = hash_sample(df, args.sample_key, args.sample_rate)
+        else:
+            df = df.sample(fraction=args.sample_rate, seed=42)  # P13 (core.py:352-358)
     output = args.output or _default_output(args.input_file)
 
     if args.mode == "quality-filter":

@@ -95,3 +95,21 @@ def test_job_pins_executor_blas_threads():
     spec.loader.exec_module(mod)
     for lib in ("OMP", "OPENBLAS", "MKL"):
         assert mod.EXECUTOR_ENV_PINS[f"spark.executorEnv.{lib}_NUM_THREADS"] == "1"
+
+
+def test_clean_with_hash_sample_key(spark, tmp_path, code_files_small):
+    """--sample-key switches P13 sampling to the deterministic md5-fraction
+    filter: two runs select the identical row set."""
+    cf, _ = code_files_small
+    src = str(tmp_path / "hs.parquet")
+    spark.createDataFrame(cf.iloc[:100]).write.parquet(src)
+    outs = []
+    for i in range(2):
+        out = str(tmp_path / f"hs_out{i}.parquet")
+        cli.main(
+            ["clean", src, "--output", out, "--mode", "quality-filter",
+             "--sample-rate", "0.5", "--sample-key", "path"],
+            spark=spark,
+        )
+        outs.append(sorted(r.path for r in spark.read.parquet(out).select("path").collect()))
+    assert outs[0] == outs[1] and 0 < len(outs[0]) < 100
