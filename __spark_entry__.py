@@ -660,6 +660,21 @@ def _q_string_length_stats(spark, sf):
     )
 
 
+def _q_keyword_langid(spark, sf):
+    """Native keyword language-ID (text_features.keyword_langid — the
+    SQL-expressible fallback of the langid family; the statistical trigram
+    langid is UDF-backed and checked via quality_filter_docs/F1). argmax by
+    (score, lang) struct max — ties break to the LEXICOGRAPHICALLY LARGEST
+    language, replayed in the oracle with ORDER BY score DESC, lang DESC."""
+    from llm_tab_cleaner_spark.functions.text_features import keyword_langid
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        keyword_langid(F.col("text")).alias("lang_pred"),
+    )
+
+
 def _q_deterministic_sample(spark, sf):
     """P13 at scale: reproducible hash-based sampling (md5-fraction filter,
     pushdown-able, partition-independent) — membership replayed exactly by
@@ -897,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
+        "keyword_langid": _q_keyword_langid,
         "deterministic_sample": _q_deterministic_sample,
         "dataset_splits": _q_dataset_splits,
         "calibration_metrics": _q_calibration_metrics,
@@ -958,6 +974,43 @@ def _lsh_topk_sql() -> str:
 
 
 _LSH_TOPK_SQL = _lsh_topk_sql()
+
+
+def _keyword_langid_sql() -> str:
+    """Replays text_features.keyword_langid: per-language regex-presence
+    scores from the SAME pattern table (Java/RE2-common dialect), argmax
+    with ties to the lexicographically largest language (Spark's struct
+    array_max compares (score, lang))."""
+    from llm_tab_cleaner_spark.functions.text_features import KEYWORD_LANG_SIG
+
+    score_rows = []
+    for lang, pats in KEYWORD_LANG_SIG.items():
+        # standard-SQL single-quoted literals: backslashes pass through
+        # verbatim (no doubling), only quotes need escaping
+        terms = " + ".join(
+            "(CASE WHEN regexp_matches(text, '{}') THEN 1 ELSE 0 END)".format(
+                p.replace("'", "''")
+            )
+            for p in pats
+        )
+        score_rows.append(f"SELECT doc_id, '{lang}' AS lang, {terms} AS score FROM documents")
+    union = "\n              UNION ALL ".join(score_rows)
+    return f"""
+        WITH scores AS (
+              {union}
+        ), ranked AS (
+          SELECT doc_id, lang, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, lang DESC) AS rn
+          FROM scores
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE WHEN score > 0 THEN lang ELSE NULL END AS lang_pred
+        FROM ranked WHERE rn = 1
+    """
+
+
+_KEYWORD_LANGID_SQL = _keyword_langid_sql()
 
 
 def _dp_noise_sql() -> str:
@@ -1464,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY col_name, original, cleaned
             HAVING count(*) >= 2
         """,
+        "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """
             SELECT doc_id,
                    round(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)

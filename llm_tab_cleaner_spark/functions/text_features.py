@@ -119,25 +119,29 @@ def is_autogen(col: Column) -> Column:
     return pred
 
 
+# keyword signature table — module-level so the DuckDB oracle generator can
+# replay the SAME patterns (kept in the common Java/RE2/Python dialect)
+KEYWORD_LANG_SIG: dict[str, list[str]] = {
+    "python": [r"\bdef \w+\(", r"\bimport \w", r"\bself\b", r'if __name__ =='],
+    "javascript": [r"\bfunction \w+\(", r"\bconst \w", r"=>", r"\brequire\("],
+    "java": [r"\bpublic class\b", r"\bprivate final\b", r"\bvoid \w+\(", r"\bimport java\."],
+    "c": [r"#include\s*<", r"\bint main\(", r"\bsize_t\b", r"\bprintf\("],
+    "go": [r"\bfunc \w+\(", r"\bpackage \w+", r":=", r"\bfmt\."],
+    "markdown": [r"(?m)^# ", r"(?m)^## ", r"(?m)^- ", r"(?m)^\d+\. "],
+    "json": [r'^\s*\{', r'"\w+"\s*:', r'\}\s*$', r'\[\s*\{'],
+}
+
+
 def keyword_lang_scores(col: Column) -> dict[str, Column]:
     """Cheap native keyword-presence score per language — used as a fallback
     signal and for SQL-oracle-comparable langid queries. The authoritative
     langid is the hashed n-gram model in scoring.py."""
-    sig = {
-        "python": [r"\bdef \w+\(", r"\bimport \w", r"\bself\b", r'if __name__ =='],
-        "javascript": [r"\bfunction \w+\(", r"\bconst \w", r"=>", r"\brequire\("],
-        "java": [r"\bpublic class\b", r"\bprivate final\b", r"\bvoid \w+\(", r"\bimport java\."],
-        "c": [r"#include\s*<", r"\bint main\(", r"\bsize_t\b", r"\bprintf\("],
-        "go": [r"\bfunc \w+\(", r"\bpackage \w+", r":=", r"\bfmt\."],
-        "markdown": [r"(?m)^# ", r"(?m)^## ", r"(?m)^- ", r"(?m)^\d+\. "],
-        "json": [r'^\s*\{', r'"\w+"\s*:', r'\}\s*$', r'\[\s*\{'],
-    }
     return {
         lang: sum(
             (F.when(col.rlike(p), F.lit(1)).otherwise(F.lit(0)) for p in pats),
             F.lit(0),
         ).cast("int")
-        for lang, pats in sig.items()
+        for lang, pats in KEYWORD_LANG_SIG.items()
     }
 
 
