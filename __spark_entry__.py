@@ -975,6 +975,69 @@ def _lsh_topk_sql() -> str:
 
 _LSH_TOPK_SQL = _lsh_topk_sql()
 
+# ONE source of truth for the rules_tabular synthesized-branch table: both
+# the rules_tabular oracle and the learned_patterns oracle select from this
+# CTE, so the expected winners can never silently diverge between them
+# (round-3 review). Ranking note: max-confidence-wins means trim 0.99 >
+# null 0.95 > state/email 0.9 > phone/currency 0.85 > date 0.8.
+_RULES_TABULAR_CTE = """
+            WITH m AS (
+              SELECT c_custkey AS k, c_custkey % 2 AS m2, c_custkey % 3 AS m3,
+                     c_custkey % 4 AS m4, c_custkey % 5 AS m5,
+                     lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS s4,
+                     ((c_custkey % 90) + 10)::VARCHAR AS cents,
+                     ((c_custkey % 12) + 1)::VARCHAR AS mm,
+                     ((c_custkey % 28) + 1)::VARCHAR AS dd
+              FROM customer
+            ), audit AS (
+              SELECT k, 'phone' AS col_name,
+                     CASE m4 WHEN 2 THEN 'trim_whitespace' WHEN 3 THEN 'null_standardization'
+                          ELSE 'phone_standardization' END AS rule_fired,
+                     CASE m4 WHEN 2 THEN 0.99 WHEN 3 THEN 0.95 ELSE 0.85 END AS confidence,
+                     CASE m4 WHEN 0 THEN '(555) 010-' || s4 WHEN 1 THEN '1 555 010 ' || s4
+                          WHEN 2 THEN ' 555-010-' || s4 || ' ' ELSE 'n/a' END AS original,
+                     CASE m4 WHEN 0 THEN '555-010-' || s4 WHEN 1 THEN '1-555-010-' || s4
+                          WHEN 2 THEN '555-010-' || s4 ELSE NULL END AS cleaned
+              FROM m
+              UNION ALL
+              SELECT k, 'state',
+                     CASE m4 WHEN 2 THEN 'trim_whitespace' ELSE 'state_standardization' END,
+                     CASE m4 WHEN 2 THEN 0.99 ELSE 0.9 END,
+                     CASE m4 WHEN 0 THEN 'california' WHEN 1 THEN 'new york' ELSE ' TX ' END,
+                     CASE m4 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' ELSE 'TX' END
+              FROM m WHERE m4 <> 3
+              UNION ALL
+              SELECT k, 'is_active', 'boolean_standardization', 0.95,
+                     CASE m3 WHEN 0 THEN 'Yes' ELSE '0' END,
+                     CASE m3 WHEN 0 THEN 'true' ELSE 'false' END
+              FROM m WHERE m3 <> 2
+              UNION ALL
+              SELECT k, 'price', 'currency_standardization', 0.85,
+                     '$' || cents || '.25', cents || '.25'
+              FROM m WHERE m2 = 0
+              UNION ALL
+              SELECT k, 'signup_date', 'date_standardization', 0.8,
+                     mm || '/' || dd || '/2019', '2019-' || mm || '-' || dd
+              FROM m WHERE m2 = 0
+              UNION ALL
+              SELECT k, 'email',
+                     CASE m3 WHEN 0 THEN 'email_standardization' ELSE 'trim_whitespace' END,
+                     CASE m3 WHEN 0 THEN 0.9 ELSE 0.99 END,
+                     CASE m3 WHEN 0 THEN 'User' || k::VARCHAR || '@Example.COM'
+                          ELSE '  a' || k::VARCHAR || '@b.com  ' END,
+                     CASE m3 WHEN 0 THEN 'user' || k::VARCHAR || '@example.com'
+                          ELSE 'a' || k::VARCHAR || '@b.com' END
+              FROM m WHERE m3 <> 1
+              UNION ALL
+              SELECT k, 'note',
+                     CASE m5 WHEN 1 THEN 'trim_whitespace' ELSE 'null_standardization' END,
+                     CASE m5 WHEN 1 THEN 0.99 ELSE 0.95 END,
+                     CASE m5 WHEN 0 THEN 'N/A' WHEN 1 THEN '  hello world  ' ELSE 'TBD' END,
+                     CASE m5 WHEN 1 THEN 'hello world' ELSE NULL END
+              FROM m WHERE m5 IN (0, 1, 2)
+            )
+"""
+
 
 def _keyword_langid_sql() -> str:
     """Replays text_features.keyword_langid: per-language regex-presence
@@ -1353,65 +1416,11 @@ def oracle_sql() -> dict[str, str]:
                    ({drop_conf}) < {TH.CONF_THRESHOLD} AS keep
             FROM documents
         """,
-        # Independent derivation of the T1-T13 winners: each synthesized
-        # branch's expected (rule, confidence, cleaned) is written out
-        # directly (max-confidence-wins: trim 0.99 > null 0.95 > state/email
-        # 0.9 > phone/currency 0.85 > date 0.8)
-        "rules_tabular": """
-            WITH m AS (
-              SELECT c_custkey AS k, c_custkey % 2 AS m2, c_custkey % 3 AS m3,
-                     c_custkey % 4 AS m4, c_custkey % 5 AS m5,
-                     lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS s4,
-                     ((c_custkey % 90) + 10)::VARCHAR AS cents,
-                     ((c_custkey % 12) + 1)::VARCHAR AS mm,
-                     ((c_custkey % 28) + 1)::VARCHAR AS dd
-              FROM customer
-            )
-            SELECT k AS c_custkey, 'phone' AS col_name,
-                   CASE m4 WHEN 2 THEN 'trim_whitespace' WHEN 3 THEN 'null_standardization'
-                        ELSE 'phone_standardization' END AS rule_fired,
-                   CAST(CASE m4 WHEN 2 THEN 0.99 WHEN 3 THEN 0.95 ELSE 0.85 END AS DOUBLE) AS confidence,
-                   CASE m4 WHEN 0 THEN '(555) 010-' || s4 WHEN 1 THEN '1 555 010 ' || s4
-                        WHEN 2 THEN ' 555-010-' || s4 || ' ' ELSE 'n/a' END AS original,
-                   CASE m4 WHEN 0 THEN '555-010-' || s4 WHEN 1 THEN '1-555-010-' || s4
-                        WHEN 2 THEN '555-010-' || s4 ELSE NULL END AS cleaned
-            FROM m
-            UNION ALL
-            SELECT k, 'state',
-                   CASE m4 WHEN 2 THEN 'trim_whitespace' ELSE 'state_standardization' END,
-                   CAST(CASE m4 WHEN 2 THEN 0.99 ELSE 0.9 END AS DOUBLE),
-                   CASE m4 WHEN 0 THEN 'california' WHEN 1 THEN 'new york' ELSE ' TX ' END,
-                   CASE m4 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' ELSE 'TX' END
-            FROM m WHERE m4 <> 3
-            UNION ALL
-            SELECT k, 'is_active', 'boolean_standardization', CAST(0.95 AS DOUBLE),
-                   CASE m3 WHEN 0 THEN 'Yes' ELSE '0' END,
-                   CASE m3 WHEN 0 THEN 'true' ELSE 'false' END
-            FROM m WHERE m3 <> 2
-            UNION ALL
-            SELECT k, 'price', 'currency_standardization', CAST(0.85 AS DOUBLE),
-                   '$' || cents || '.25', cents || '.25'
-            FROM m WHERE m2 = 0
-            UNION ALL
-            SELECT k, 'signup_date', 'date_standardization', CAST(0.8 AS DOUBLE),
-                   mm || '/' || dd || '/2019', '2019-' || mm || '-' || dd
-            FROM m WHERE m2 = 0
-            UNION ALL
-            SELECT k, 'email',
-                   CASE m3 WHEN 0 THEN 'email_standardization' ELSE 'trim_whitespace' END,
-                   CAST(CASE m3 WHEN 0 THEN 0.9 ELSE 0.99 END AS DOUBLE),
-                   CASE m3 WHEN 0 THEN 'User' || k::VARCHAR || '@Example.COM'
-                        ELSE '  a' || k::VARCHAR || '@b.com  ' END,
-                   CASE m3 WHEN 0 THEN 'user' || k::VARCHAR || '@example.com'
-                        ELSE 'a' || k::VARCHAR || '@b.com' END
-            FROM m WHERE m3 <> 1
-            UNION ALL
-            SELECT k, 'note',
-                   CASE m5 WHEN 1 THEN 'trim_whitespace' ELSE 'null_standardization' END,
-                   CAST(CASE m5 WHEN 1 THEN 0.99 ELSE 0.95 END AS DOUBLE),
-                   CASE m5 WHEN 0 THEN 'N/A' WHEN 1 THEN '  hello world  ' ELSE 'TBD' END,
-                   CASE m5 WHEN 1 THEN 'hello world' ELSE NULL END
-            FROM m WHERE m5 IN (0, 1, 2)
+        "rules_tabular": _RULES_TABULAR_CTE + """
+            SELECT k AS c_custkey, col_name, rule_fired,
+                   CAST(round(confidence, 2) AS DOUBLE) AS confidence,
+                   original, cleaned
+            FROM audit
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
@@ -1457,58 +1466,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
         """,
-        "learned_patterns": """
-            -- the rules_tabular branch table, aggregated the way the
-            -- learner aggregates the audit: confidence >= 0.8, cleaned not
-            -- null, support >= 2, confidence = max
-            WITH m AS (
-              SELECT c_custkey AS k, c_custkey % 2 AS m2, c_custkey % 3 AS m3,
-                     c_custkey % 4 AS m4, c_custkey % 5 AS m5,
-                     lpad((c_custkey % 10000)::VARCHAR, 4, '0') AS s4,
-                     ((c_custkey % 90) + 10)::VARCHAR AS cents,
-                     ((c_custkey % 12) + 1)::VARCHAR AS mm,
-                     ((c_custkey % 28) + 1)::VARCHAR AS dd
-              FROM customer
-            ), audit AS (
-              SELECT 'phone' AS col_name,
-                     CASE m4 WHEN 2 THEN 0.99 WHEN 3 THEN 0.95 ELSE 0.85 END AS confidence,
-                     CASE m4 WHEN 0 THEN '(555) 010-' || s4 WHEN 1 THEN '1 555 010 ' || s4
-                          WHEN 2 THEN ' 555-010-' || s4 || ' ' ELSE 'n/a' END AS original,
-                     CASE m4 WHEN 0 THEN '555-010-' || s4 WHEN 1 THEN '1-555-010-' || s4
-                          WHEN 2 THEN '555-010-' || s4 ELSE NULL END AS cleaned
-              FROM m
-              UNION ALL
-              SELECT 'state', CASE m4 WHEN 2 THEN 0.99 ELSE 0.9 END,
-                     CASE m4 WHEN 0 THEN 'california' WHEN 1 THEN 'new york' ELSE ' TX ' END,
-                     CASE m4 WHEN 0 THEN 'CA' WHEN 1 THEN 'NY' ELSE 'TX' END
-              FROM m WHERE m4 <> 3
-              UNION ALL
-              SELECT 'is_active', 0.95,
-                     CASE m3 WHEN 0 THEN 'Yes' ELSE '0' END,
-                     CASE m3 WHEN 0 THEN 'true' ELSE 'false' END
-              FROM m WHERE m3 <> 2
-              UNION ALL
-              SELECT 'price', 0.85, '$' || cents || '.25', cents || '.25'
-              FROM m WHERE m2 = 0
-              UNION ALL
-              SELECT 'signup_date', 0.8, mm || '/' || dd || '/2019',
-                     '2019-' || mm || '-' || dd
-              FROM m WHERE m2 = 0
-              UNION ALL
-              SELECT 'email',
-                     CASE m3 WHEN 0 THEN 0.9 ELSE 0.99 END,
-                     CASE m3 WHEN 0 THEN 'User' || k::VARCHAR || '@Example.COM'
-                          ELSE '  a' || k::VARCHAR || '@b.com  ' END,
-                     CASE m3 WHEN 0 THEN 'user' || k::VARCHAR || '@example.com'
-                          ELSE 'a' || k::VARCHAR || '@b.com' END
-              FROM m WHERE m3 <> 1
-              UNION ALL
-              SELECT 'note',
-                     CASE m5 WHEN 1 THEN 0.99 ELSE 0.95 END,
-                     CASE m5 WHEN 0 THEN 'N/A' WHEN 1 THEN '  hello world  ' ELSE 'TBD' END,
-                     CASE m5 WHEN 1 THEN 'hello world' ELSE NULL END
-              FROM m WHERE m5 IN (0, 1, 2)
-            )
+        "learned_patterns": _RULES_TABULAR_CTE + """
             SELECT col_name, original, cleaned,
                    count(*) AS frequency,
                    CAST(round(max(confidence), 2) AS DOUBLE) AS confidence
@@ -1520,15 +1478,15 @@ def oracle_sql() -> dict[str, str]:
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """
             SELECT doc_id,
-                   round(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+                   round(CAST(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '<NULL>')), 1, 8)) AS UBIGINT)
                          / 4294967296.0, 6) AS frac
             FROM documents
-            WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+            WHERE CAST(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '<NULL>')), 1, 8)) AS UBIGINT)
                   / 4294967296.0 < 0.25
         """,
         "dataset_splits": """
             WITH f AS (
-              SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8)) AS UBIGINT)
+              SELECT CAST(('0x' || substr(md5(coalesce(doc_id::VARCHAR, '<NULL>')), 1, 8)) AS UBIGINT)
                      / 4294967296.0 AS frac
               FROM documents
             )

@@ -486,6 +486,13 @@ class StreamingCleaner:
         self.confidence_threshold = confidence_threshold
         self.checkpoint_location = checkpoint_location
 
+    _TRIGGER_UNITS = {
+        "millisecond": 0.001, "milliseconds": 0.001, "ms": 0.001,
+        "second": 1.0, "seconds": 1.0, "s": 1.0,
+        "minute": 60.0, "minutes": 60.0, "min": 60.0,
+        "hour": 3600.0, "hours": 3600.0, "h": 3600.0,
+    }
+
     def clean_stream(
         self,
         input_stream,
@@ -495,7 +502,22 @@ class StreamingCleaner:
     ):
         from llm_tab_cleaner_spark.streaming.stream_clean import clean_stream
 
-        seconds = int(str(trigger_interval).split()[0])
+        if columns is not None:
+            import warnings
+
+            warnings.warn(
+                "StreamingCleaner.clean_stream(columns=...) is accepted for "
+                "source compatibility only: the quality-filter pipeline "
+                "scores the 'content' column of the code-files schema",
+                stacklevel=2,
+            )
+        parts = str(trigger_interval).split()
+        if len(parts) != 2 or parts[1].lower() not in self._TRIGGER_UNITS:
+            raise ValueError(
+                f"unsupported trigger_interval {trigger_interval!r}; use "
+                f"'<n> <unit>' with unit in {sorted(set(self._TRIGGER_UNITS))}"
+            )
+        seconds = float(parts[0]) * self._TRIGGER_UNITS[parts[1].lower()]
         return clean_stream(
             input_stream,
             self.spark,

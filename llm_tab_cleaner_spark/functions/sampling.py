@@ -26,11 +26,15 @@ _DENOM = float(1 << 32)
 
 
 def hash_fraction(col: Column) -> Column:
-    """Deterministic uniform [0, 1) from a key column (md5-prefix / 2^32)."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double")
-        / F.lit(_DENOM)
-    )
+    """Deterministic uniform [0, 1) from a key column (md5-prefix / 2^32).
+
+    NULL keys map to the sentinel string '<NULL>' — every null-keyed row
+    gets the SAME fraction, so nulls travel together (all sampled in or
+    out; all in one split) instead of hash_sample silently dropping them
+    while hash_split routed them to the last split (round-3 review).
+    Filter nulls beforehand if togetherness is not what you want."""
+    keyed = F.coalesce(col.cast("string"), F.lit("<NULL>"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 
 
 def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:

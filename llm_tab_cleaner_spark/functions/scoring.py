@@ -124,10 +124,13 @@ def _batch_text_stats(
     # packed into the top 12 bits, hash truncated to 52 bits — 7× faster
     # than the two-key lexsort. Within-row collision odds go from 2^-64 to
     # T²/2^53 (~1e-8 for a 10k-token prefix) — the same accepted
-    # hash-distinctness caveat. Arrow batches are ≤2048 rows (session conf);
-    # the lexsort fallback keeps correctness if a caller feeds more.
+    # hash-distinctness caveat. BOTH paths compare the SAME 52 truncated
+    # bits: a full-width fallback would let nd differ by Arrow-batch size
+    # (batch-composition determinism rule). Arrow batches are ≤2048 rows
+    # (session conf); the lexsort fallback covers callers feeding more.
+    h52 = h >> np.uint64(12)
     if n <= 4096:
-        packed = (tok_row.astype(np.uint64) << np.uint64(52)) | (h >> np.uint64(12))
+        packed = (tok_row.astype(np.uint64) << np.uint64(52)) | h52
         sp = np.sort(packed)
         first = np.ones(sp.size, dtype=bool)
         first[1:] = sp[1:] != sp[:-1]
@@ -135,8 +138,8 @@ def _batch_text_stats(
             (sp >> np.uint64(52)).astype(np.int64)[first], minlength=n
         ).astype(np.int32)
     else:
-        order = np.lexsort((h, tok_row))
-        hs, rs = h[order], tok_row[order]
+        order = np.lexsort((h52, tok_row))
+        hs, rs = h52[order], tok_row[order]
         first = np.ones(hs.size, dtype=bool)
         first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
         nd = np.bincount(rs[first], minlength=n).astype(np.int32)

@@ -94,8 +94,12 @@ def learn_patterns(
     (adaptive.py:305-312) minus the age penalty, with a deterministic
     (column, input) tie-break.
     """
+    # min_support BEFORE the limit: below-support patterns must not occupy
+    # limit slots and push qualifying ones past the cut (round-3 review)
     rows = (
-        learned_patterns_df(audit_df, min_support=1, min_confidence=min_confidence)
+        learned_patterns_df(
+            audit_df, min_support=min_support, min_confidence=min_confidence
+        )
         .orderBy(
             F.desc(F.col("frequency") * F.col("confidence")),
             F.asc("column"),

@@ -142,6 +142,12 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(*id_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # materialize the tiny (ids, band, bucket) table once: the cap aggregate
+    # and BOTH self-join sides consume it, and without a checkpoint each
+    # consumer replays the signature lineage (a pandas UDF for callers that
+    # did not materialize sig_df themselves)
+    banded = banded.localCheckpoint(eager=True)
+
     small = (
         banded.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("_sz"))
@@ -311,6 +317,9 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
+    # materialize once: the cap aggregate + both self-join sides would
+    # otherwise replay the simhash UDF lineage per consumer (~4x)
+    chunks = chunks.localCheckpoint(eager=True)
     small = (
         chunks.groupBy("chunk", "key")
         .agg(F.count(F.lit(1)).alias("_sz"))
@@ -370,6 +379,9 @@ def embedding_near_dup_pairs(
         banded = b.select(
             id_col, F.posexplode("buckets").alias("band", "bucket")
         )
+        # materialize once: cap aggregate + both candidate sides would
+        # otherwise replay the hyperplane-bucket UDF lineage per consumer
+        banded = banded.localCheckpoint(eager=True)
         # hot-bucket cap (same guard as lsh_candidate_pairs / simhash):
         # zero/degenerate vectors all sign-hash to one bucket per band — a
         # quadratic reducer at corpus scale; clusters that big are

@@ -163,7 +163,7 @@ def clean_stream(
     output_dir: str,
     checkpoint_dir: str,
     threshold: float = TH.CONF_THRESHOLD,
-    trigger_seconds: int | None = None,
+    trigger_seconds: float | None = None,
     queryName: str = "clean_stream",
 ):
     """Score a streaming code-files DataFrame and append keep/confidence +
@@ -184,7 +184,9 @@ def clean_stream(
         .queryName(queryName)
     )
     if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        # milliseconds: CalendarInterval has no fractional seconds, and
+        # sub-second triggers ('0.5 seconds') must not silently truncate
+        writer = writer.trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
