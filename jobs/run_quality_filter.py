@@ -82,7 +82,10 @@ def main(argv: list[str] | None = None) -> int:
         result, audit, batch_id = pipe.run_incremental(df)
     else:
         result, audit = pipe.run(df)
-        result.persist()
+        # multi-consumer intermediate (output + metrics + report below):
+        # localCheckpoint per the repo's cache-ownership rule — no
+        # CacheManager entry to leak or unpersist (round-3 VERDICT nit)
+        result = result.localCheckpoint(eager=True)
         batch_id = None
 
     (

@@ -250,11 +250,19 @@ class IncrementalCleaner:
         run_incremental caller-owns-cache contract): write/collect what you
         need from it, then call ``result.unpersist()`` — unpersisting here
         would force every caller action to recompute the full scored plan.
+        Callers that skip the unpersist leak at most ONE batch: the next
+        process_increment call unpersists the previous increment's result
+        before running (round-3 ADVICE — old-contract callers otherwise
+        accumulated cached batches in executor memory across increments).
         The batch's audit frame is kept on ``self.last_audit``."""
+        prev = getattr(self, "_last_result", None)
+        if prev is not None:
+            prev.unpersist()
         result, audit, committed = self.pipeline.run_incremental(df, batch_id)
         report = self.pipeline.report(result)
         self.last_audit = audit
         self.last_batch_id = committed
+        self._last_result = result
         return result, report
 
     def reprocess_low_confidence(self, confidence_threshold: float) -> int:

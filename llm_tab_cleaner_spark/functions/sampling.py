@@ -28,12 +28,17 @@ _DENOM = float(1 << 32)
 def hash_fraction(col: Column) -> Column:
     """Deterministic uniform [0, 1) from a key column (md5-prefix / 2^32).
 
-    NULL keys map to the sentinel string '<NULL>' — every null-keyed row
-    gets the SAME fraction, so nulls travel together (all sampled in or
-    out; all in one split) instead of hash_sample silently dropping them
-    while hash_split routed them to the last split (round-3 review).
-    Filter nulls beforehand if togetherness is not what you want."""
-    keyed = F.coalesce(col.cast("string"), F.lit("<NULL>"))
+    Keying is INJECTIVE on (is_null, string value): real keys hash
+    ``'v:' + value`` and NULL keys hash the bare marker ``'n'`` — no string
+    value can collide with the null cohort (round-3 ADVICE: the previous
+    '<NULL>' sentinel was reachable by a genuine key of that text). Every
+    null-keyed row still gets the SAME fraction, so nulls travel together
+    (all sampled in or out; all in one split) instead of hash_sample
+    silently dropping them while hash_split routed them to the last split.
+    Filter nulls beforehand if togetherness is not what you want. The same
+    keying runs in the DuckDB oracle (``coalesce('v:' || x, 'n')``) and in
+    Python replays (``'v:' + str(k)``)."""
+    keyed = F.coalesce(F.concat(F.lit("v:"), col.cast("string")), F.lit("n"))
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
 
 

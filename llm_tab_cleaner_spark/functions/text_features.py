@@ -105,15 +105,33 @@ def is_nullish(col: Column) -> Column:
     return norm.isin(*TH.NULLISH_TOKENS)
 
 
+# regex metacharacters that would make an AUTOGEN_PATTERNS entry non-literal:
+# the fixture generator / DuckDB oracle interpret the entries as REGEX while
+# this side runs contains() on the \*-unescaped literal, so any OTHER
+# metacharacter would silently match differently across the F1 gate
+# (round-3 ADVICE). '*' is excluded — it only appears as the escaped \*.
+_REGEX_META = set(".^$+?{}[]|()\\")
+
+
 def is_autogen(col: Column) -> Column:
     """Auto-generated / boilerplate marker predicate (pattern-rule analog:
     cleaning_rule.py:62-76). Every marker in TH.AUTOGEN_PATTERNS is a
     literal string (the one escaped marker unescapes to its literal form),
     so the scan is a short-circuiting chain of ``contains`` — UTF8String
     substring search, no regex engine. Identical matches to the alternation
-    regex, measured 38.1 → 31.0 CPU-s (incl. scan) on 100k files."""
+    regex, measured 38.1 → 31.0 CPU-s (incl. scan) on 100k files. A
+    non-literal entry (leftover regex metacharacters after the \\*
+    unescape) fails loudly here instead of diverging from the regex
+    semantics the fixture generator / oracle still use."""
     pred: Column | None = None
     for p in TH.AUTOGEN_PATTERNS:
+        residue = _REGEX_META & set(p.replace("\\*", ""))
+        if residue:
+            raise ValueError(
+                f"AUTOGEN_PATTERNS entry {p!r} is not a contains()-safe "
+                f"literal (regex metacharacters {sorted(residue)}); extend "
+                "is_autogen's unescaping or use a regex predicate for it"
+            )
         term = col.contains(p.replace("\\*", "*"))
         pred = term if pred is None else (pred | term)
     return pred

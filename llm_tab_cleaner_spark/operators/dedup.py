@@ -15,6 +15,7 @@ n-gram Jaccard verification. Scale notes per operator:
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
@@ -23,6 +24,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
+
+_log = logging.getLogger(__name__)
+
+
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket_size: int, op: str
+) -> DataFrame:
+    """Drop over-cap (band, bucket) groups before a self-join — a hot bucket
+    of B docs is a B² reducer — and make the truncation VISIBLE (round-3
+    ADVICE: templated/boilerplate corpora can hold genuine near-dup clusters
+    above the cap, and silently vanishing pairs are indistinguishable from
+    'no dups'). ``banded`` must already be materialized (localCheckpoint) by
+    the caller, so the stats pass here is one tiny scan; the dropped-group/
+    doc counts are computed eagerly and logged at WARNING. Callers that
+    expect big near-dup clusters should raise ``max_bucket_size`` or route
+    the corpus through exact_dedup first."""
+    stats = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .localCheckpoint(eager=True)
+    )
+    row = stats.filter(F.col("_sz") > max_bucket_size).agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.coalesce(F.sum("_sz"), F.lit(0)).alias("docs"),
+    ).first()
+    if row["groups"]:
+        _log.warning(
+            "%s: dropped %d over-cap bucket(s) holding %d doc slots "
+            "(max_bucket_size=%d) — near-dup pairs inside them are NOT "
+            "emitted; raise max_bucket_size or exact-dedup first if your "
+            "corpus has genuine near-dup clusters this large",
+            op, row["groups"], row["docs"], max_bucket_size,
+        )
+    small = stats.filter(F.col("_sz") <= max_bucket_size).select(*keys)
+    return banded.join(small, keys)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], content_col: str) -> DataFrame:
@@ -148,13 +184,7 @@ def lsh_candidate_pairs(
     # did not materialize sig_df themselves)
     banded = banded.localCheckpoint(eager=True)
 
-    small = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .filter(F.col("_sz") <= max_bucket_size)
-        .select("band", "bucket")
-    )
-    banded = banded.join(small, ["band", "bucket"])
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, "lsh_candidate_pairs")
 
     left = banded.select(
         "band", "bucket", *[F.col(c).alias(f"{c}_a") for c in id_cols]
@@ -320,13 +350,7 @@ def simhash_near_dup_pairs(
     # materialize once: the cap aggregate + both self-join sides would
     # otherwise replay the simhash UDF lineage per consumer (~4x)
     chunks = chunks.localCheckpoint(eager=True)
-    small = (
-        chunks.groupBy("chunk", "key")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .filter(F.col("_sz") <= max_bucket_size)
-        .select("chunk", "key")
-    )
-    chunks = chunks.join(small, ["chunk", "key"])
+    chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size, "simhash_near_dup_pairs")
     a = chunks.select(
         "chunk", "key", F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_ha")
     )
@@ -386,13 +410,9 @@ def embedding_near_dup_pairs(
         # zero/degenerate vectors all sign-hash to one bucket per band — a
         # quadratic reducer at corpus scale; clusters that big are
         # exact-dup material, not near-dup candidates
-        small = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("_sz"))
-            .filter(F.col("_sz") <= max_bucket_size)
-            .select("band", "bucket")
+        banded = _cap_buckets(
+            banded, ["band", "bucket"], max_bucket_size, "embedding_near_dup_pairs"
         )
-        banded = banded.join(small, ["band", "bucket"])
         a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
         c = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
         cand = (

@@ -315,7 +315,14 @@ def apply_rules(
             )
         if not candidates:
             continue
-        winner = F.array_max(F.filter(F.array(*candidates), lambda s: s.isNotNull()))
+        # max-confidence-wins via greatest(): skips null candidates and
+        # orders structs field-by-field (confidence, priority, value) exactly
+        # like array_max — but stays inside whole-stage codegen, where the
+        # lambda-HOF form (array_max∘filter) forced the whole collapsed
+        # Project interpreted (CLAUDE.md rule; ~2× on wide tables).
+        winner = (
+            F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
+        )
         out = out.withColumn(f"__win_{col}", winner)
         audit_structs.append(
             F.when(
@@ -330,11 +337,13 @@ def apply_rules(
             )
         )
 
+    # null-keeping array + post-explode filter (the quality-filter audit
+    # path's pattern): same rows as filter-then-explode, no lambda HOF
     audit = out.select(
         *[F.col(k) for k in key_cols],
-        F.explode(
-            F.filter(F.array(*audit_structs), lambda s: s.isNotNull())
-        ).alias("fix"),
+        F.explode(F.array(*audit_structs)).alias("fix"),
+    ).where(
+        F.col("fix").isNotNull()
     ).select(
         *key_cols,
         F.col("fix.column").alias("column"),

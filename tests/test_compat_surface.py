@@ -75,8 +75,10 @@ def test_incremental_cleaner_surface(spark, code_files_small, tmp_path):
     # result comes back still persisted (caller-owns-cache) + audit exposed
     assert res1.storageLevel.useMemory
     assert inc.last_audit is not None
-    res1.unpersist()
+    # a caller that SKIPS the unpersist leaks at most one batch: the next
+    # increment auto-unpersists the previous result (round-3 ADVICE)
     res2, report2 = inc.process_increment(spark.createDataFrame(cf.iloc[:100]), "b2")
+    assert not res1.storageLevel.useMemory
     res2.unpersist()
     assert report2.total_files == 40  # only the fresh rows
     stats = inc.get_statistics()

@@ -83,6 +83,22 @@ def test_whole_stage_codegen_covers_rules(spark, tmp_path):
     assert "lambdafunction" not in plan
 
 
+def test_apply_rules_projection_is_codegen(spark):
+    """Round-3 VERDICT #2: apply_rules' winner selection is greatest(), not
+    array_max∘filter — one lambda HOF would force the whole collapsed
+    tabular-rules Project interpreted (CLAUDE.md rule). Guard both the
+    cleaned projection and the audit explode."""
+    from llm_tab_cleaner_spark.operators.rules import apply_rules
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    applied = apply_rules(df, key_cols=["c_custkey"])
+    for d in (applied.cleaned, applied.audit):
+        plan = _plan(d)
+        assert "lambdafunction" not in plan, plan[:2000]
+    # the cleaned projection re-enters whole-stage codegen
+    assert re.search(r"\*\(\d+\) Project", _plan(applied.cleaned))
+
+
 def test_topk_uses_take_ordered(spark):
     """Top-k must compile to TakeOrderedAndProject (no global sort)."""
     from llm_tab_cleaner_spark.operators.profiler import topk_values

@@ -102,3 +102,26 @@ def test_salted_repartition_spreads_giant_repo(spark, code_files_small):
     # the giant repo must land on >1 partition (no skew serialization)
     assert len(parts) >= 4
     assert parts["count"].max() < parts["count"].sum() * 0.5
+
+
+def test_autogen_patterns_are_contains_safe_literals(spark, monkeypatch):
+    """Round-3 ADVICE: is_autogen runs contains() on the \\*-unescaped
+    literal while the fixture generator / oracle treat AUTOGEN_PATTERNS as
+    regex — so every entry must be a pure literal after the unescape
+    (regex-search == substring-containment), and a non-literal entry must
+    fail loudly instead of silently diverging across the F1 gate."""
+    import re
+
+    import pytest
+
+    from llm_tab_cleaner_spark.functions import text_features as TF
+    from llm_tab_cleaner_spark.functions import thresholds as TH
+
+    for p in TH.AUTOGEN_PATTERNS:
+        lit = p.replace("\\*", "*")
+        assert re.search(p, f"xx{lit}yy"), p  # regex matches its own literal
+    TF.is_autogen(F.col("c"))  # current table builds without raising
+
+    monkeypatch.setattr(TH, "AUTOGEN_PATTERNS", ("auto.generated\\b",))
+    with pytest.raises(ValueError, match="not a contains"):
+        TF.is_autogen(F.col("c"))

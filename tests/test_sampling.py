@@ -25,8 +25,25 @@ def test_hash_fraction_matches_python(spark):
     df = spark.createDataFrame(pd.DataFrame({"k": ["42", "abc", "", "x y"]}))
     got = {r.k: r.f for r in df.select("k", F.round(hash_fraction(F.col("k")), 9).alias("f")).collect()}
     for k in ["42", "abc", "", "x y"]:
-        want = int(hashlib.md5(k.encode()).hexdigest()[:8], 16) / 2**32
+        want = int(hashlib.md5(("v:" + k).encode()).hexdigest()[:8], 16) / 2**32
         assert got[k] == round(want, 9)
+
+
+def test_hash_fraction_null_sentinel_injective(spark):
+    """Round-3 ADVICE: a genuine key spelled like a null sentinel must NOT
+    travel with the null cohort — the keying is injective on
+    (is_null, value), so only actual NULLs share the null fraction."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["<NULL>", "n", "v:n", None]}), "k string"
+    )
+    got = {r.k: r.f for r in df.select("k", F.round(hash_fraction(F.col("k")), 9).alias("f")).collect()}
+    null_frac = round(int(hashlib.md5(b"n").hexdigest()[:8], 16) / 2**32, 9)
+    assert got[None] == null_frac
+    for k in ["<NULL>", "n", "v:n"]:
+        want = round(int(hashlib.md5(("v:" + k).encode()).hexdigest()[:8], 16) / 2**32, 9)
+        assert got[k] == want and got[k] != null_frac
 
 
 def test_hash_split_disjoint_exhaustive(spark):
