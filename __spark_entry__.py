@@ -626,6 +626,33 @@ def _q_learned_patterns(spark, sf):
     )
 
 
+def _q_learned_fuzzy(spark, sf):
+    """The learner's deterministic fuzzy tier (reference adaptive.py:250-288
+    recast: char-3-gram Jaccard ≥ 0.4 with total-order tie-break instead of
+    corpus-dependent TF-IDF cosine): every learned input perturbed with a
+    trailing '~' must fuzzy-resolve back to a learned pattern of its column.
+    The oracle replays grams, Jaccard, and the ranking window in SQL."""
+    from llm_tab_cleaner_spark.operators.adaptive import (
+        fuzzy_match_df,
+        learned_patterns_df,
+    )
+
+    audit = _rules_tabular_audit(spark, sf)
+    pats = learned_patterns_df(audit, min_support=2, min_confidence=0.8)
+    vals = pats.select(
+        "column", F.concat(F.col("original"), F.lit("~")).alias("value")
+    ).distinct()
+    out = fuzzy_match_df(vals, pats, "value", column_col="column")
+    return out.select(
+        F.col("column").alias("col_name"),
+        "value",
+        "matched_input",
+        "suggested",
+        F.col("similarity").cast("double").alias("similarity"),
+        F.col("suggestion_confidence").cast("double").alias("suggestion_confidence"),
+    )
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -930,7 +957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": _q_ivf_assign,
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
-        # ---- tail: beyond the driver's 50-row cap (see note above) ----
+        # ---- tail: beyond the driver's 50-row cap (see note above);
+        # learned_fuzzy IS oracled — tools/parity_check.py verifies it ----
+        "learned_fuzzy": _q_learned_fuzzy,
         "corr_price_qty": _q_corr_price_qty,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
         "minhash_pairs": _q_minhash_pairs,
@@ -1482,6 +1511,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE confidence >= 0.8 AND cleaned IS NOT NULL
             GROUP BY col_name, original, cleaned
             HAVING count(*) >= 2
+        """,
+        "learned_fuzzy": _RULES_TABULAR_CTE + """
+            , pats AS (
+              SELECT col_name, original, cleaned,
+                     count(*) AS frequency, max(confidence) AS confidence
+              FROM audit
+              WHERE confidence >= 0.8 AND cleaned IS NOT NULL
+              GROUP BY col_name, original, cleaned
+              HAVING count(*) >= 2
+            ), vals AS (
+              SELECT DISTINCT col_name, original || '~' AS value FROM pats
+            ), vg AS (
+              SELECT col_name, value,
+                     CASE WHEN len(value) < 3 THEN [value]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(value) - 2),
+                                 i -> substr(value, i, 3))) END AS grams
+              FROM vals
+            ), pg AS (
+              SELECT col_name, original, cleaned, frequency, confidence,
+                     CASE WHEN len(original) < 3 THEN [original]
+                          ELSE list_distinct(list_transform(
+                                 generate_series(1, len(original) - 2),
+                                 i -> substr(original, i, 3))) END AS grams
+              FROM pats WHERE frequency > 1
+            ), scored AS (
+              SELECT v.col_name, v.value, p.original, p.cleaned,
+                     p.frequency, p.confidence,
+                     len(list_intersect(v.grams, p.grams)) * 1.0
+                       / (len(v.grams) + len(p.grams)
+                          - len(list_intersect(v.grams, p.grams))) AS sim
+              FROM vg v JOIN pg p USING (col_name)
+            ), ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY col_name, value
+                       ORDER BY sim DESC, frequency DESC, confidence DESC,
+                                cleaned ASC, original ASC) AS rn
+              FROM scored WHERE sim >= 0.4
+            )
+            SELECT col_name, value, original AS matched_input,
+                   cleaned AS suggested,
+                   CAST(round(sim, 4) AS DOUBLE) AS similarity,
+                   CAST(round(confidence * sim, 4) AS DOUBLE) AS suggestion_confidence
+            FROM ranked WHERE rn = 1
         """,
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """

@@ -18,11 +18,21 @@ Spark-first re-expression:
   engine, so learned patterns ride the same max-confidence-wins plan as
   hand-written rules. Zero per-value Python, nothing but the pattern table
   (bounded by ``max_patterns``) leaves the driver.
-* Deliberate divergences (deterministic engine): no wall-clock recency decay
-  in pattern ranking (frequency then confidence then input), and no TF-IDF
-  fuzzy matching (nondeterministic confidence scaling) — exact match only,
-  like the reference's primary path. Patterns whose ``cleaned`` is NULL are
-  not learnable as map entries (null standardization already owns them).
+* **The fuzzy tier is deterministic**: the reference's fallback
+  (``_fuzzy_pattern_match``, adaptive.py:250-288) vectorizes inputs with a
+  char-2-3-gram TfidfVectorizer and takes the argmax cosine > 0.7 —
+  corpus-dependent IDF weights make the same (value, pattern) pair score
+  differently as unrelated patterns come and go. The port replaces it with
+  char-3-gram Jaccard ≥ ``FUZZY_MIN_SIMILARITY`` and a total-order
+  tie-break (similarity, frequency, confidence, output, input) — a pure
+  function of the pair, identical on the driver (``suggest_fix``), in the
+  distributed plan (``fuzzy_match_df``), and in the DuckDB oracle. Like the
+  reference it only consults patterns seen more than once and scales the
+  suggestion's confidence by the similarity.
+* Remaining deliberate divergences (deterministic engine): no wall-clock
+  recency decay in pattern ranking (frequency then confidence then input).
+  Patterns whose ``cleaned`` is NULL are not learnable as map entries (null
+  standardization already owns them).
 
 At 100 TB the learn step shuffles only (column, original, cleaned) triples
 that already passed the confidence gate — audit rows, not corpus rows — and
@@ -42,6 +52,105 @@ from llm_tab_cleaner_spark.operators.rules import RuleSpec
 #: reference learn gate: "Only learn from high-confidence fixes"
 #: (adaptive.py:192-194)
 LEARN_MIN_CONFIDENCE = 0.8
+
+#: fuzzy-tier gate — the deterministic analog of the reference's TF-IDF
+#: cosine > 0.7 threshold (adaptive.py:275). Char-3-gram Jaccard is a
+#: stricter metric than IDF-weighted cosine on the same grams, so the
+#: operating point sits lower; 0.4 accepts one-edit variants of short
+#: inputs ("texas"→"texa s" ≈ 0.43) and rejects unrelated strings.
+FUZZY_MIN_SIMILARITY = 0.4
+
+
+def char_ngrams(s: str, n: int = 3) -> set[str]:
+    """Distinct char n-grams; strings shorter than ``n`` gram to themselves
+    (so near-identical short codes can still fuzzy-match), empty → {}."""
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def _char_ngram_col(c: Column, n: int = 3) -> Column:
+    """char_ngrams as a native column expression (identical gram sets)."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+    return F.when(F.length(c) < n, F.array(c)).otherwise(grams)
+
+
+def fuzzy_match_df(
+    values_df: DataFrame,
+    patterns_df: DataFrame,
+    value_col: str,
+    column_col: str | None = None,
+    min_similarity: float = FUZZY_MIN_SIMILARITY,
+    n: int = 3,
+) -> DataFrame:
+    """The fuzzy tier as a distributed plan (reference
+    _fuzzy_pattern_match, adaptive.py:250-288, made deterministic): for
+    every value row, the best learned pattern by char-``n``-gram Jaccard
+    with total-order tie-break (similarity, frequency, confidence, output,
+    input), kept when similarity ≥ ``min_similarity``. Adds columns
+    ``matched_input, suggested, similarity, suggestion_confidence``
+    (confidence × similarity, the reference's scaling).
+
+    ``patterns_df`` is learned_patterns_df's shape (column, original,
+    cleaned, frequency, confidence); like the reference, only patterns with
+    frequency > 1 participate. If ``column_col`` is given, values only
+    match patterns learned for that column (the reference's data_type
+    scoping).
+
+    Scale shape: the pattern table is bounded (max_patterns) and
+    BROADCAST, so this is a map-side join + per-row gram intersection —
+    no shuffle of the values at all; the row_number window partitions by
+    the value row's key, which for distinct-value inputs AQE coalesces
+    into the same scan-shaped stages. Lambda HOFs are fine here (suggest
+    paths run over audit-scale tables, not the corpus hot path)."""
+    from pyspark.sql import Window
+
+    pat = (
+        patterns_df.filter(F.col("frequency") > 1)
+        .select(
+            F.col("column").alias("_p_col"),
+            F.col("original").alias("_p_in"),
+            F.col("cleaned").alias("_p_out"),
+            F.col("frequency").alias("_p_freq"),
+            F.col("confidence").alias("_p_conf"),
+            _char_ngram_col(F.col("original"), n).alias("_pg"),
+        )
+    )
+    v = values_df.withColumn("_vg", _char_ngram_col(F.col(value_col), n))
+    if column_col is not None:
+        joined = v.join(F.broadcast(pat), F.col(column_col) == F.col("_p_col"))
+    else:
+        joined = v.crossJoin(F.broadcast(pat))
+    inter = F.size(F.array_intersect("_vg", "_pg"))
+    union = F.size("_vg") + F.size("_pg") - inter
+    joined = joined.withColumn(
+        "_sim",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+    ).filter(F.col("_sim") >= min_similarity)
+    w = Window.partitionBy(
+        value_col, *([column_col] if column_col is not None else [])
+    ).orderBy(
+        F.desc("_sim"), F.desc("_p_freq"), F.desc("_p_conf"),
+        F.asc("_p_out"), F.asc("_p_in"),
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *values_df.columns,
+            F.col("_p_in").alias("matched_input"),
+            F.col("_p_out").alias("suggested"),
+            F.round("_sim", 4).alias("similarity"),
+            F.round(F.col("_p_conf") * F.col("_sim"), 4).alias(
+                "suggestion_confidence"
+            ),
+        )
+    )
 
 
 @dataclass
@@ -196,8 +305,12 @@ class PatternLearner:
             )
 
     def suggest_fix(self, value, column: str | None = None, context: dict | None = None):
-        """Exact-match suggestion (adaptive.py:228-246): best pattern by
-        (frequency, confidence) — deterministic, no recency term. Returns
+        """Suggestion lookup (adaptive.py:228-246): exact match first (best
+        pattern by frequency, confidence — deterministic, no recency term),
+        then the deterministic fuzzy tier (char-3-gram Jaccard ≥
+        FUZZY_MIN_SIMILARITY over patterns seen more than once, confidence
+        scaled by similarity — the reference's TF-IDF fallback,
+        adaptive.py:250-288, with corpus-independent scoring). Returns
         (cleaned, confidence) or None."""
         vs = str(value)
         matches = [
@@ -205,10 +318,38 @@ class PatternLearner:
             for (col, inp, _out), p in self._patterns.items()
             if inp == vs and (column is None or col is None or col == column)
         ]
-        if not matches:
+        if matches:
+            best = max(matches, key=lambda p: (p.frequency, p.confidence, p.output_pattern))
+            return best.output_pattern, best.confidence
+        return self._fuzzy_suggest(vs, column)
+
+    def _fuzzy_suggest(self, vs: str, column: str | None):
+        """Driver-side fuzzy tier — same similarity and tie-break as
+        fuzzy_match_df, so a value scores identically here and in the
+        distributed plan. Mirrors the reference's preconditions: only
+        patterns with frequency > 1, and at least two relevant patterns
+        (adaptive.py:255-262)."""
+        cands = [
+            p
+            for (col, _inp, _out), p in self._patterns.items()
+            if p.frequency > 1 and (column is None or col is None or col == column)
+        ]
+        vg = char_ngrams(vs)
+        if not vg or len(cands) < 2:
             return None
-        best = max(matches, key=lambda p: (p.frequency, p.confidence, p.output_pattern))
-        return best.output_pattern, best.confidence
+        scored = []
+        for p in cands:
+            pg = char_ngrams(p.input_pattern)
+            union = len(vg | pg)
+            sim = len(vg & pg) / union if union else 0.0
+            if sim >= FUZZY_MIN_SIMILARITY:
+                scored.append((-sim, -p.frequency, -p.confidence,
+                               p.output_pattern, p.input_pattern, sim, p))
+        if not scored:
+            return None
+        scored.sort(key=lambda t: t[:5])
+        sim, best = scored[0][5], scored[0][6]
+        return best.output_pattern, best.confidence * sim
 
     # ---- distributed surface ----
     def learn_from_audit(self, audit_df: DataFrame, min_support: int = 1) -> int:

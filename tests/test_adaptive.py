@@ -98,3 +98,73 @@ def test_compile_patterns_groups_by_column_and_confidence():
     specs = compile_patterns(pats)
     assert len(specs) == 3  # (col1,0.9) merged, (col1,0.8), (col2,0.9)
     assert specs[0].applies_to("col1") and not specs[0].applies_to("col10")
+
+
+def test_pattern_learner_fuzzy_tier():
+    """Reference learn-then-fuzzy-suggest flow (adaptive.py:250-288): an
+    exact-miss value resolves through the deterministic fuzzy tier
+    (char-3-gram Jaccard ≥ 0.4, confidence scaled by similarity), with the
+    reference's preconditions — only patterns seen more than once, and at
+    least two relevant patterns."""
+    from llm_tab_cleaner_spark.compat import Fix
+    from llm_tab_cleaner_spark.operators.adaptive import char_ngrams
+
+    learner = PatternLearner()
+    for _ in range(2):  # frequency 2 → fuzzy-eligible
+        learner.learn_from_fix(Fix(column="state", row_index=None,
+                                   original="california", cleaned="CA", confidence=0.9))
+        learner.learn_from_fix(Fix(column="state", row_index=None,
+                                   original="new york", cleaned="NY", confidence=0.9))
+    got = learner.suggest_fix("californias", "state")  # one-typo variant
+    assert got is not None
+    out, conf = got
+    assert out == "CA"
+    vg, pg = char_ngrams("californias"), char_ngrams("california")
+    sim = len(vg & pg) / len(vg | pg)
+    assert sim >= 0.4
+    assert abs(conf - 0.9 * sim) < 1e-12  # reference scales confidence by sim
+    # unrelated value below the similarity gate → None
+    assert learner.suggest_fix("zzzz", "state") is None
+    # frequency-1 patterns never fuzzy-match (reference: frequency > 1)
+    l2 = PatternLearner()
+    l2.learn_from_fix(Fix(column="state", row_index=None,
+                          original="california", cleaned="CA", confidence=0.9))
+    l2.learn_from_fix(Fix(column="state", row_index=None,
+                          original="new york", cleaned="NY", confidence=0.9))
+    assert l2.suggest_fix("californias", "state") is None
+
+
+def test_fuzzy_match_df_agrees_with_driver_suggest(spark):
+    """The distributed fuzzy tier and the driver-side suggest_fix are the
+    same pure function: identical best match and scaled confidence."""
+    from llm_tab_cleaner_spark.compat import Fix
+    from llm_tab_cleaner_spark.operators.adaptive import fuzzy_match_df
+
+    pats = pd.DataFrame({
+        "column": ["state"] * 3,
+        "original": ["california", "new york", "texas"],
+        "cleaned": ["CA", "NY", "TX"],
+        "frequency": [3, 2, 2],
+        "confidence": [0.9, 0.9, 0.85],
+    })
+    vals = pd.DataFrame({"column": ["state"] * 3,
+                         "value": ["califormia", "new yorke", "texaz"]})
+    out = fuzzy_match_df(
+        spark.createDataFrame(vals), spark.createDataFrame(pats),
+        "value", column_col="column",
+    ).toPandas().set_index("value")
+
+    learner = PatternLearner()
+    for _, p in pats.iterrows():
+        for _ in range(int(p.frequency)):
+            learner.learn_from_fix(Fix(column=p.column, row_index=None,
+                                       original=p.original, cleaned=p.cleaned,
+                                       confidence=p.confidence))
+    for v in vals.value:
+        driver = learner.suggest_fix(v, "state")
+        if v in out.index:
+            assert driver is not None
+            assert driver[0] == out.loc[v, "suggested"]
+            assert abs(driver[1] - out.loc[v, "suggestion_confidence"]) < 5e-5
+        else:
+            assert driver is None
