@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
+from llm_tab_cleaner_spark.functions import thresholds as TH
 from llm_tab_cleaner_spark.functions.corpus import training_corpus
 
 B_LANG = 4096  # langid hash buckets (small: scatter-add builds n_rows × B_LANG)
@@ -38,8 +39,18 @@ _SMOOTH_K = 0.1
 SCORE_SCHEMA = (
     "lang_pred string, lang_margin double, ppl_bits double, "
     "n_tokens int, n_distinct_tokens int, unique_token_ratio double, "
-    "alnum_ratio double"
+    "alnum_ratio double, is_nullish boolean"
 )
+
+# is_nullish rides the scorer UDF (round-3 VERDICT #6): as a Column
+# expression its lower(ws_strip(...)) scan was inlined TWICE into every
+# pushed-down keep filter (nullish rule + short rule's negation); behind
+# the Arrow barrier it is computed once, and the byte-level check below is
+# exact for the ASCII token set (Java \s == this byte class on UTF-8;
+# non-ASCII text can never equal an ASCII token under either lowercasing).
+_ASCII_WS = b" \t\n\x0b\x0c\r"
+_NULLISH_BYTES = frozenset(t.encode("ascii") for t in TH.NULLISH_TOKENS)
+_NULLISH_MAX_BYTES = max(len(t) for t in TH.NULLISH_TOKENS)
 
 _FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
@@ -58,9 +69,11 @@ _BYTE_CLS[0x80:0xC0] = 3
 
 def _batch_text_stats(
     blob: np.ndarray, lens: np.ndarray, byte_row: np.ndarray, n: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(n_tokens, n_distinct_tokens, unique_token_ratio, alnum_ratio) per
-    row, all from the concatenated byte blob — zero per-row Python.
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(n_tokens, n_distinct_tokens, unique_token_ratio, alnum_ratio,
+    nonws_bytes) per row, all from the concatenated byte blob — zero
+    per-row Python. nonws_bytes (bytes that are not ASCII whitespace) feeds
+    the nullish candidate pre-filter in score_batch.
 
     Matches the native expressions char-for-char on any valid UTF-8:
     whitespace is the ASCII Java-\\s set (multibyte chars never match), token
@@ -76,11 +89,12 @@ def _batch_text_stats(
     uniq = np.ones(n, dtype=np.float64)
     alnum = np.ones(n, dtype=np.float64)
     if blob.size == 0:
-        return nt, nd, uniq, alnum
+        return nt, nd, uniq, alnum, np.zeros(n, dtype=np.int64)
 
     cls = _BYTE_CLS[blob]
     # one combined bincount: per-row counts of [other, alnum, ws, cont]
     counts = np.bincount(byte_row * 4 + cls, minlength=4 * n).reshape(n, 4)
+    nonws_bytes = lens - counts[:, 2]
     n_chars = lens - counts[:, 3]  # chars = bytes - continuation bytes
     nonspace = n_chars - counts[:, 2]
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -95,7 +109,7 @@ def _batch_text_stats(
     is_start[row_starts] = ~ws[row_starts]
     tok_starts = np.nonzero(is_start)[0]
     if tok_starts.size == 0:
-        return nt, nd, uniq, alnum
+        return nt, nd, uniq, alnum, nonws_bytes
 
     tok_row = byte_row[tok_starts]
     nt = np.bincount(tok_row, minlength=n).astype(np.int32)
@@ -144,7 +158,7 @@ def _batch_text_stats(
         first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
         nd = np.bincount(rs[first], minlength=n).astype(np.int32)
     uniq = np.where(nt > 0, nd / np.maximum(nt, 1), 1.0)
-    return nt, nd, uniq, alnum
+    return nt, nd, uniq, alnum, nonws_bytes
 
 
 def _trigram_buckets(data: np.ndarray, n_buckets: int) -> np.ndarray:
@@ -186,7 +200,15 @@ class ScoringModel:
         out_bits = np.zeros(n, dtype=np.float64)
 
         byte_row = np.repeat(np.arange(n, dtype=np.int32), lens)
-        nt, nd, uniq, alnum = _batch_text_stats(blob, lens, byte_row, n)
+        nt, nd, uniq, alnum, nonws = _batch_text_stats(blob, lens, byte_row, n)
+
+        # nullish flag: only rows with ≤ max-token non-ws bytes can match an
+        # (ASCII) nullish token, so the per-row strip/lower/set-probe runs on
+        # that tiny candidate set — everything else is one bincount already
+        # paid for above. Row-local by construction (batch-composition rule).
+        out_nullish = np.zeros(n, dtype=bool)
+        for i in np.nonzero(nonws <= _NULLISH_MAX_BYTES)[0]:
+            out_nullish[i] = raw[i].strip(_ASCII_WS).lower() in _NULLISH_BYTES
 
         if blob.size >= 3:
             # a window starting at byte i is valid iff byte i and i+2
@@ -251,6 +273,7 @@ class ScoringModel:
                 "n_distinct_tokens": nd,
                 "unique_token_ratio": uniq,
                 "alnum_ratio": alnum,
+                "is_nullish": out_nullish,
             }
         )
 
@@ -334,6 +357,7 @@ def with_scores(df, content_col: str, spark: SparkSession, model: ScoringModel |
     for field in (
         "lang_pred", "lang_margin", "ppl_bits",
         "n_tokens", "n_distinct_tokens", "unique_token_ratio", "alnum_ratio",
+        "is_nullish",
     ):
         out = out.withColumn(field, F.col(f"_score.{field}"))
     return out.drop("_score"), model

@@ -130,7 +130,6 @@ def apply_quality_filter(
     out = (
         out.withColumn("n_chars", TF.n_chars(content))
         .withColumn("has_long_line", TF.has_long_line(content))
-        .withColumn("is_nullish", TF.is_nullish(content))
         .withColumn("is_autogen", TF.is_autogen(content))
     )
 
@@ -148,6 +147,18 @@ def apply_quality_filter(
         )
         out, model = with_scores(out, "_score_text", spark, model)
         out = out.drop("_score_text")
+        # is_nullish rides the scorer UDF (round-3 VERDICT #6: the native
+        # lower/strip scan was inlined twice into every pushed-down keep
+        # filter). The UDF saw only the prefix, which is exact whenever the
+        # file fits in it; the rare larger file falls back to the native
+        # expression — evaluated per-row only on that branch, so typical
+        # rows never run the regex at all.
+        out = out.withColumn(
+            "is_nullish",
+            F.when(
+                F.col("n_chars") <= F.lit(score_prefix_chars), F.col("is_nullish")
+            ).otherwise(TF.is_nullish(content)),
+        )
     else:
         out, model = with_scores(out, "content", spark, model)
 

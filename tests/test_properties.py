@@ -110,7 +110,7 @@ def test_scorer_token_stats_match_naive(texts):
     lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
     blob = np.frombuffer(b"".join(raw), dtype=np.uint8)
     byte_row = np.repeat(np.arange(len(raw), dtype=np.int32), lens)
-    nt, nd, _uniq, _alnum = _batch_text_stats(blob, lens, byte_row, len(raw))
+    nt, nd, _uniq, _alnum, _nonws = _batch_text_stats(blob, lens, byte_row, len(raw))
     for i, t in enumerate(texts):
         # token boundaries are BYTE-level ASCII whitespace on the utf-8
         # encoding ('replace' maps unencodable surrogates like the kernel)

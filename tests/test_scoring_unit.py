@@ -51,3 +51,28 @@ def test_batch_order_invariance():
     rev = m.score_batch(cf.content.iloc[::-1]).reset_index(drop=True).iloc[::-1].reset_index(drop=True)
     assert np.allclose(full.ppl_bits, rev.ppl_bits)
     assert (full.lang_pred.fillna("") == rev.lang_pred.fillna("")).all()
+
+
+def test_batch_is_nullish_matches_native_semantics():
+    """is_nullish rides the scorer UDF (round-3 VERDICT #6); the byte-level
+    check must equal lower(ws_strip(coalesce(x, ''))) ∈ NULLISH_TOKENS on
+    every edge: empty, None, whitespace-only, mixed-case tokens, near-miss
+    strings, and non-ASCII lookalikes."""
+    import re
+
+    from llm_tab_cleaner_spark.functions import thresholds as TH
+
+    vals = [
+        "", "   ", "\t\n", "N/A", " null\t", "nil", "NILx", "xnil",
+        "Unknown", "unknown  ", "tbd", "to do", "code here", None,
+        "ＮＵＬＬ", "n / a", "-", "none\n\n", "x" * 50,
+    ]
+    out = default_model().score_batch(pd.Series(vals))
+
+    def native(s):
+        s = s if isinstance(s, str) else ""
+        return re.sub(r"^\s+|\s+$", "", s).lower() in TH.NULLISH_TOKENS
+
+    got = list(out.is_nullish)
+    want = [native(v) for v in vals]
+    assert got == want, list(zip(vals, got, want))
