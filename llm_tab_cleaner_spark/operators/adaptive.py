@@ -370,6 +370,89 @@ class PatternLearner:
                 self._patterns[key] = p
         return len(self._patterns)
 
+    def to_patterns_df(self, spark) -> DataFrame:
+        """Held patterns as a learned_patterns_df-shaped DataFrame (column,
+        original, cleaned, frequency, confidence) — the input contract of
+        fuzzy_match_df, so a driver-held learner can drive the distributed
+        suggest path over a full corpus."""
+        rows = [
+            (p.column, p.input_pattern, p.output_pattern, p.frequency, p.confidence)
+            for p in self._patterns.values()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "column string, original string, cleaned string, "
+            "frequency bigint, confidence double",
+        )
+
+    def suggest_fixes_df(
+        self,
+        values_df: DataFrame,
+        value_col: str,
+        column_col: str | None = None,
+        min_similarity: float = FUZZY_MIN_SIMILARITY,
+    ) -> DataFrame:
+        """The reference's suggest_fix flow as ONE distributed plan over a
+        values table: exact matches first (broadcast equi-join on the raw
+        value, best pattern by frequency/confidence — similarity 1.0), the
+        deterministic fuzzy tier for the rest (fuzzy_match_df). Returns the
+        values_df columns + matched_input, suggested, similarity,
+        suggestion_confidence; rows with no suggestion are absent, like the
+        reference's None. Pattern table is driver-bounded (max_patterns)
+        and broadcast — the corpus never shuffles for the exact tier.
+
+        Divergence from the driver-side suggest_fix when ``column_col`` is
+        given: column-LESS patterns (column=None) never match here — the
+        equi-join drops null keys — whereas suggest_fix lets them match any
+        column. Patterns learned from audit tables always carry a column,
+        so this only affects hand-built column-less patterns."""
+        from pyspark.sql import Window
+
+        spark = values_df.sparkSession
+        pats = self.to_patterns_df(spark)
+        exact_pat = pats.select(
+            F.col("column").alias("_p_col"),
+            F.col("original").alias("_p_in"),
+            F.col("cleaned").alias("_p_out"),
+            F.col("frequency").alias("_p_freq"),
+            F.col("confidence").alias("_p_conf"),
+        )
+        if column_col is not None:
+            cond = (F.col(value_col) == F.col("_p_in")) & (
+                F.col(column_col) == F.col("_p_col")
+            )
+            part = [value_col, column_col]
+        else:
+            cond = F.col(value_col) == F.col("_p_in")
+            part = [value_col]
+        # tie-break matches driver suggest_fix's exact tier exactly:
+        # max by (frequency, confidence, output) → output DESC last
+        w = Window.partitionBy(*part).orderBy(
+            F.desc("_p_freq"), F.desc("_p_conf"), F.desc("_p_out")
+        )
+        exact = (
+            values_df.join(F.broadcast(exact_pat), cond)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                *values_df.columns,
+                F.col("_p_in").alias("matched_input"),
+                F.col("_p_out").alias("suggested"),
+                F.lit(1.0).alias("similarity"),
+                F.round(F.col("_p_conf"), 4).alias("suggestion_confidence"),
+            )
+        )
+        misses = values_df.join(
+            F.broadcast(exact_pat.select(F.col("_p_in"), F.col("_p_col"))),
+            cond,
+            "left_anti",
+        )
+        fuzzy = fuzzy_match_df(
+            misses, pats, value_col, column_col=column_col,
+            min_similarity=min_similarity,
+        )
+        return exact.unionByName(fuzzy)
+
     def to_rules(self, min_support: int = 2) -> list[RuleSpec]:
         """Compile held patterns (at/above ``min_support``) to broadcast-map
         RuleSpecs for rules.apply_rules / compat.TableCleaner."""

@@ -168,3 +168,34 @@ def test_fuzzy_match_df_agrees_with_driver_suggest(spark):
             assert abs(driver[1] - out.loc[v, "suggestion_confidence"]) < 5e-5
         else:
             assert driver is None
+
+
+def test_suggest_fixes_df_agrees_with_driver(spark):
+    """The one-plan distributed suggest flow (exact tier + fuzzy tier)
+    returns the same suggestions as per-value suggest_fix calls."""
+    from llm_tab_cleaner_spark.compat import Fix
+
+    learner = PatternLearner()
+    specs = [("california", "CA", 0.9, 3), ("new york", "NY", 0.9, 2),
+             ("texas", "TX", 0.85, 2)]
+    for orig, out, conf, freq in specs:
+        for _ in range(freq):
+            learner.learn_from_fix(Fix(column="state", row_index=None,
+                                       original=orig, cleaned=out, confidence=conf))
+    vals = ["california", "texas", "califormia", "new yorke", "zzzz", "texaz"]
+    vdf = spark.createDataFrame(
+        pd.DataFrame({"column": ["state"] * len(vals), "value": vals})
+    )
+    got = learner.suggest_fixes_df(vdf, "value", column_col="column").toPandas()
+    got = got.set_index("value")
+    for v in vals:
+        driver = learner.suggest_fix(v, "state")
+        if v in got.index:
+            assert driver is not None, v
+            assert driver[0] == got.loc[v, "suggested"], v
+            assert abs(driver[1] - got.loc[v, "suggestion_confidence"]) < 5e-5, v
+        else:
+            assert driver is None, v
+    # exact matches carry similarity 1.0 and the raw confidence
+    assert got.loc["california", "similarity"] == 1.0
+    assert got.loc["california", "suggestion_confidence"] == 0.9
