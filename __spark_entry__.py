@@ -653,6 +653,36 @@ def _q_learned_fuzzy(spark, sf):
     )
 
 
+def _q_license_stats(spark, sf):
+    """License detection over synthesized code headers (X21): each customer
+    row gets a deterministic header by c_custkey % 8 — SPDX-tagged MIT,
+    untagged Apache, GPL text, SPDX GPL tag, all-rights-reserved, a
+    precedence case (MIT text + GPL text → copyleft wins), a marker pushed
+    BEYOND the 2 KiB scan prefix (must classify 'none'), and plain prose.
+    The oracle states the expected (class, spdx) per branch — a branch-wise
+    twin like rules_tabular's."""
+    from llm_tab_cleaner_spark.functions.licensing import license_counts
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey") % 8
+    header = (
+        F.when(k == 0, F.concat(F.lit("// SPDX-License-Identifier: MIT\n// MIT License\n"), F.col("c_name")))
+        .when(k == 1, F.concat(F.lit("/* Licensed under the Apache License, Version 2.0 */\n/* Apache License */\n"), F.col("c_name")))
+        .when(k == 2, F.concat(F.lit("# This program is free software: GNU General Public License v3\n"), F.col("c_name")))
+        .when(k == 3, F.concat(F.lit("// SPDX-License-Identifier: GPL-3.0-only\n"), F.col("c_name")))
+        .when(k == 4, F.concat(F.lit("/* Copyright Acme Corp. All rights reserved. */\n"), F.col("c_name")))
+        .when(k == 5, F.concat(F.lit("// MIT License\n// includes code under the GNU General Public License\n"), F.col("c_name")))
+        .when(k == 6, F.concat(F.repeat(F.lit("x"), 2300), F.lit("\nMIT License\n")))
+        .otherwise(F.col("c_name"))
+    )
+    out = license_counts(c.select(header.alias("content")))
+    return out.select(
+        "license_class",
+        "spdx_id",
+        F.col("n_files").cast("bigint").alias("n_files"),
+    )
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -958,8 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
         # ---- tail: beyond the driver's 50-row cap (see note above);
-        # learned_fuzzy IS oracled — tools/parity_check.py verifies it ----
+        # learned_fuzzy and license_stats ARE oracled —
+        # tools/parity_check.py verifies them ----
         "learned_fuzzy": _q_learned_fuzzy,
+        "license_stats": _q_license_stats,
         "corr_price_qty": _q_corr_price_qty,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
         "minhash_pairs": _q_minhash_pairs,
@@ -1555,6 +1587,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sim, 4) AS DOUBLE) AS similarity,
                    CAST(round(confidence * sim, 4) AS DOUBLE) AS suggestion_confidence
             FROM ranked WHERE rn = 1
+        """,
+        "license_stats": """
+            -- branch-wise expected (class, spdx) per synthesized header:
+            -- 0 SPDX MIT → permissive/MIT; 1 Apache text → permissive/NULL;
+            -- 2 GPL text → copyleft/NULL; 3 SPDX GPL → copyleft/GPL-3.0-only;
+            -- 4 all-rights-reserved → restricted/NULL; 5 MIT+GPL text →
+            -- copyleft/NULL (precedence); 6 marker beyond the 2 KiB scan
+            -- prefix → none/NULL; 7 plain prose → none/NULL
+            WITH m AS (
+              SELECT CASE c_custkey % 8
+                       WHEN 0 THEN 'permissive' WHEN 1 THEN 'permissive'
+                       WHEN 2 THEN 'copyleft'   WHEN 3 THEN 'copyleft'
+                       WHEN 4 THEN 'restricted' WHEN 5 THEN 'copyleft'
+                       ELSE 'none' END AS license_class,
+                     CASE c_custkey % 8
+                       WHEN 0 THEN 'MIT' WHEN 3 THEN 'GPL-3.0-only'
+                       ELSE NULL END AS spdx_id
+              FROM customer
+            )
+            SELECT license_class, spdx_id, count(*) AS n_files
+            FROM m GROUP BY 1, 2
         """,
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """
