@@ -52,6 +52,12 @@ _ASCII_WS = b" \t\n\x0b\x0c\r"
 _NULLISH_BYTES = frozenset(t.encode("ascii") for t in TH.NULLISH_TOKENS)
 _NULLISH_MAX_BYTES = max(len(t) for t in TH.NULLISH_TOKENS)
 
+#: byte cap per internal scoring chunk (see ScoringModel.score_batch):
+#: the kernels' blob-sized int64 intermediates make peak memory ≈ 8× this
+#: per live array — 32 MB keeps the worst case comfortably inside a
+#: worker while typical ~720 B-row batches (a few MB) never split
+_SCORE_CHUNK_BYTES = 32 << 20
+
 _FMIX1 = np.uint64(0xFF51AFD7ED558CCD)
 _FMIX2 = np.uint64(0xC4CEB9FE1A85EC53)
 _POLY_P = np.uint64(1099511628211)
@@ -184,6 +190,42 @@ class ScoringModel:
 
     # ---- batch scoring (vectorized across all rows of an Arrow batch) ----
     def score_batch(self, texts: pd.Series) -> pd.DataFrame:
+        """Scores for a whole Arrow batch. Batches whose total byte volume
+        exceeds _SCORE_CHUNK_BYTES are processed in row-contiguous chunks
+        and concatenated: every score is row-local (the
+        batch-composition-invariance contract), so chunking cannot change
+        any value, and it bounds the kernel working set — the stats/trigram
+        kernels allocate several blob-sized int64 intermediates (~8 bytes
+        per input byte each), so an unbounded 4096-row batch of
+        64 KiB-prefix files would otherwise peak at multiple GB per
+        worker."""
+        lens = np.fromiter(
+            (
+                len(t) if isinstance(t, bytes)
+                else (len(t.encode("utf-8", "replace")) if isinstance(t, str) else 0)
+                for t in texts
+            ),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        if len(texts) > 1 and lens.sum() > _SCORE_CHUNK_BYTES:
+            bounds = [0]
+            acc = 0
+            for i, ln in enumerate(lens):
+                acc += int(ln)
+                if acc > _SCORE_CHUNK_BYTES and i + 1 > bounds[-1]:
+                    bounds.append(i + 1)
+                    acc = 0
+            if bounds[-1] != len(texts):
+                bounds.append(len(texts))
+            parts = [
+                self._score_chunk(texts.iloc[a:b])
+                for a, b in zip(bounds[:-1], bounds[1:])
+            ]
+            return pd.concat(parts, ignore_index=True)
+        return self._score_chunk(texts)
+
+    def _score_chunk(self, texts: pd.Series) -> pd.DataFrame:
         # bytes rows come from the UDF's JVM-side encode() (a free
         # reinterpret for UTF-8 strings) — no per-row Python encode; str
         # rows (tests, direct callers) still work

@@ -48,9 +48,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # code files are big strings: keep Arrow batches modest so a batch of
-        # ~2k files stays well under executor memory even with 100 KB files
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch size: 4096 halves per-batch fixed costs (serde setup,
+        # pandas materialization, numpy kernel overheads) vs 2048 — measured
+        # 17.3 → 9.3 CPU-s floor per 50k-file pass, 5/6 interleaved pairs
+        # favorable (BENCH/BASELINE.md round-4) — and 4096 rows is exactly
+        # the scorer's packed-sort distinct-path limit. Memory safety for
+        # big-row batches comes from the scorer's BYTE-bounded internal
+        # chunking (scoring._SCORE_CHUNK_BYTES), not from the row count.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # split big text-heavy scans across tasks (default 128m under-splits
         # a 150 MB single-file input into 1-2 tasks)
         .config("spark.sql.files.maxPartitionBytes", "16m")
