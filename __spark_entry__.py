@@ -683,6 +683,37 @@ def _q_license_stats(spark, sf):
     )
 
 
+def _q_comment_stats(spark, sf):
+    """Comment stripping / comment-ratio (X22) over synthesized per-language
+    code rows: the oracle replays the SAME dialect-common regex chains
+    (block → line markers) in DuckDB RE2 and recomputes the ratios — a
+    genuine twin of the transform, not just branch-expected values."""
+    from llm_tab_cleaner_spark.functions.code_comments import comment_ratio_expr
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey") % 4
+    content = (
+        F.when(k == 0, F.concat(F.lit("# header\nx = 1  # tail\n"), F.col("c_name")))
+        .when(k == 1, F.concat(F.lit("/* block\nmulti */\nint x; // line\n"), F.col("c_name")))
+        .when(k == 2, F.concat(F.lit("var y = 1 // only\n"), F.col("c_name")))
+        .otherwise(F.concat(F.lit("plain text // kept\n"), F.col("c_name")))
+    )
+    lang = (
+        F.when(k == 0, F.lit("python"))
+        .when(k == 1, F.lit("c"))
+        .when(k == 2, F.lit("javascript"))
+        .otherwise(F.lit("markdown"))
+    )
+    d = c.select(content.alias("content"), lang.alias("lang"))
+    out = d.select(
+        "lang", comment_ratio_expr(F.col("content"), F.col("lang")).alias("r")
+    )
+    return out.groupBy("lang").agg(
+        F.round(F.avg("r"), 4).cast("double").alias("avg_comment_ratio"),
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+    )
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -992,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/parity_check.py verifies them ----
         "learned_fuzzy": _q_learned_fuzzy,
         "license_stats": _q_license_stats,
+        "comment_stats": _q_comment_stats,
         "corr_price_qty": _q_corr_price_qty,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
         "minhash_pairs": _q_minhash_pairs,
@@ -1608,6 +1640,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT license_class, spdx_id, count(*) AS n_files
             FROM m GROUP BY 1, 2
+        """,
+        "comment_stats": """
+            WITH d AS (
+              SELECT CASE c_custkey % 4
+                       WHEN 0 THEN '# header' || chr(10) || 'x = 1  # tail' || chr(10) || c_name
+                       WHEN 1 THEN '/* block' || chr(10) || 'multi */' || chr(10) || 'int x; // line' || chr(10) || c_name
+                       WHEN 2 THEN 'var y = 1 // only' || chr(10) || c_name
+                       ELSE 'plain text // kept' || chr(10) || c_name END AS content,
+                     CASE c_custkey % 4
+                       WHEN 0 THEN 'python' WHEN 1 THEN 'c'
+                       WHEN 2 THEN 'javascript' ELSE 'markdown' END AS lang
+              FROM customer
+            ), s AS (
+              SELECT lang, content,
+                     CASE lang
+                       WHEN 'python' THEN regexp_replace(content, '#[^\\n]*', '', 'g')
+                       WHEN 'c' THEN regexp_replace(regexp_replace(content,
+                              '/\\*[\\s\\S]*?\\*/', '', 'g'), '//[^\\n]*', '', 'g')
+                       WHEN 'javascript' THEN regexp_replace(regexp_replace(content,
+                              '/\\*[\\s\\S]*?\\*/', '', 'g'), '//[^\\n]*', '', 'g')
+                       ELSE content END AS stripped
+              FROM d
+            )
+            SELECT lang,
+                   CAST(round(avg(CASE WHEN len(content) > 0
+                        THEN (len(content) - len(stripped)) * 1.0 / len(content)
+                        ELSE 0 END), 4) AS DOUBLE) AS avg_comment_ratio,
+                   count(*) AS n_files
+            FROM s GROUP BY lang
         """,
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """

@@ -15,7 +15,7 @@ SUBSET = [
     "pricing_summary", "region_revenue", "native_rules_docs", "scrub_parity",
     "cosine_topk", "embedding_near_dup", "doc_stats", "rules_tabular",
     "lsh_topk", "ivf_assign", "keyword_langid", "dataset_splits",
-    "learned_patterns", "learned_fuzzy", "license_stats",
+    "learned_patterns", "learned_fuzzy", "license_stats", "comment_stats",
 ]
 
 
