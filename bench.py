@@ -432,18 +432,18 @@ def main() -> None:
             "efficiency_median": effs[len(effs) // 2],
             "efficiency_cleanest_pair": cleanest["efficiency"],
             "work_conservation_cleanest_pair": cleanest["work_conservation"],
+            # vs-control is headlined from the CLEANEST pair only — a
+            # window shift that flatters the engine's wall ratio inflates
+            # max/median vs-control just like raw efficiency; >1 means the
+            # engine out-scaled pure compute in that window (the control is
+            # a host-grant floor, not a ceiling). Per-pair values above.
             **(
                 {
-                    "efficiency_vs_control_best": max(
-                        p["efficiency_vs_control"] for p in ok
-                        if "efficiency_vs_control" in p
-                    ),
-                    "efficiency_vs_control_median": sorted(
-                        p["efficiency_vs_control"] for p in ok
-                        if "efficiency_vs_control" in p
-                    )[sum("efficiency_vs_control" in p for p in ok) // 2],
+                    "efficiency_vs_control_cleanest_pair": cleanest[
+                        "efficiency_vs_control"
+                    ]
                 }
-                if any("efficiency_vs_control" in p for p in ok)
+                if "efficiency_vs_control" in cleanest
                 else {}
             ),
             "cpu_seconds_n": best["cpu_seconds_n"],
