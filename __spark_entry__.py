@@ -714,6 +714,48 @@ def _q_comment_stats(spark, sf):
     )
 
 
+def _q_pipeline_corpus_gate(spark, sf):
+    """The pipeline's combined opt-in corpus path (X21+X22 as
+    PipelineConfig stages, round-4 VERDICT #5): license gate + comment-ratio
+    run INSIDE CleanPipeline.run — the scorer UDF executes in the same plan,
+    but the compared projection is the native gate/feature output, so the
+    DuckDB twin replays it exactly (gate first, ratio only on surviving
+    rows — the stage order in CleanPipeline.prepare). Headers are
+    synthesized per doc_id % 4: SPDX MIT (permissive, survives), GPL text
+    (copyleft, gated out), proprietary marker (restricted, gated out),
+    plain text (none, survives)."""
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id") % 4
+    content = (
+        F.when(k == 0, F.concat(F.lit("// SPDX-License-Identifier: MIT\n// MIT License\n"), F.col("text")))
+        .when(k == 1, F.concat(F.lit("# This code is under the GNU General Public License.\n"), F.col("text")))
+        .when(k == 2, F.concat(F.lit("/* Proprietary and confidential */\n"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    df = d.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        # NULL lang: the comment when-chain's otherwise branch (all marker
+        # families) — exactly what the oracle's strip_comments_sql replays
+        F.lit(None).cast("string").alias("lang"),
+        content.alias("content"),
+    )
+    pipe = CleanPipeline(
+        spark,
+        PipelineConfig(license_allow=("permissive", "none"), with_comment_ratio=True),
+    )
+    result, _audit = pipe.run(df)
+    return result.select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "license_class",
+        "spdx_id",
+        F.round("comment_ratio", 4).cast("double").alias("comment_ratio"),
+    )
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -960,11 +1002,14 @@ def _q_ngram_jaccard(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is load-bearing: the round-3 driver recorded only the FIRST 50
-    # entries of this dict (31/46/50 rows across rounds 1-3 — capped exactly
-    # when the suite crossed 50), so the oracle-bearing queries all sit inside
-    # the top 50 and the tail holds (a) two queries whose operators are also
-    # covered by other green rows (corr_price_qty ⊂ corr_matrix,
+    # Ordering is load-bearing: the driver records only the FIRST 50 entries
+    # of this dict, so (round-4 ADVICE) the NEWEST oracled queries go INSIDE
+    # the recorded window — learned_fuzzy/license_stats/comment_stats
+    # (round 4) and pipeline_corpus_gate (round 5) sit in the top 50, and
+    # the tail holds (a) long-stable queries whose operators are also
+    # covered by other green rows (event_bins ⊂ event_windows/sessions,
+    # short_docs ⊂ doc_stats, embedding_norms ⊂ cosine/knn family,
+    # dup_pairs_count ⊂ exact_dedup_docs, corr_price_qty ⊂ corr_matrix,
     # exact_dedup_prefix ~ exact_dedup_docs) and (b) the three model-backed
     # rows-only queries. tools/parity_check.py still verifies ALL of them.
     return {
@@ -974,9 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
         "window_top_orders": _q_window_top_orders,
-        "dup_pairs_count": _q_dup_pairs_count,
         "price_outliers": _q_price_outliers,
-        "event_bins": _q_event_bins,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
@@ -992,7 +1035,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_bins": _q_calibration_bins,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
         "doc_stats": _q_doc_stats,
-        "short_docs": _q_short_docs,
         "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1011,19 +1053,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_metrics": _q_calibration_metrics,
         "string_length_stats": _q_string_length_stats,
         "cosine_topk": _q_cosine_topk,
-        "embedding_norms": _q_embedding_norms,
         "knn_brute": _q_knn_brute,
         "knn_blocked": _q_knn_blocked,
         "lsh_topk": _q_lsh_topk,
         "ivf_assign": _q_ivf_assign,
         "embedding_near_dup": _q_embedding_near_dup,
         "ngram_jaccard": _q_ngram_jaccard,
-        # ---- tail: beyond the driver's 50-row cap (see note above);
-        # learned_fuzzy and license_stats ARE oracled —
-        # tools/parity_check.py verifies them ----
         "learned_fuzzy": _q_learned_fuzzy,
         "license_stats": _q_license_stats,
         "comment_stats": _q_comment_stats,
+        "pipeline_corpus_gate": _q_pipeline_corpus_gate,
+        # ---- tail: beyond the driver's 50-row cap (see note above); all
+        # six below ARE oracled — tools/parity_check.py verifies them ----
+        "event_bins": _q_event_bins,
+        "short_docs": _q_short_docs,
+        "embedding_norms": _q_embedding_norms,
+        "dup_pairs_count": _q_dup_pairs_count,
         "corr_price_qty": _q_corr_price_qty,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
         "minhash_pairs": _q_minhash_pairs,
@@ -1175,6 +1220,50 @@ def _keyword_langid_sql() -> str:
 
 
 _KEYWORD_LANGID_SQL = _keyword_langid_sql()
+
+
+def _pipeline_corpus_gate_sql() -> str:
+    """Replays _q_pipeline_corpus_gate's native surface: the synthesized
+    headers, the license gate (class chain generated from the SAME marker
+    tables), and the comment ratio on surviving rows (all-patterns strip —
+    the frame carries no lang column). The scorer runs in the Spark plan but
+    contributes no compared column."""
+    from llm_tab_cleaner_spark.functions.code_comments import strip_comments_sql
+    from llm_tab_cleaner_spark.functions.licensing import (
+        license_class_sql,
+        spdx_sql,
+    )
+
+    stripped = strip_comments_sql("content")
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE doc_id % 4
+                   WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                               || '// MIT License' || chr(10) || text
+                   WHEN 1 THEN '# This code is under the GNU General Public License.'
+                               || chr(10) || text
+                   WHEN 2 THEN '/* Proprietary and confidential */' || chr(10) || text
+                   ELSE text END AS content
+          FROM documents
+        ), c AS (
+          SELECT doc_id, content,
+                 {license_class_sql('content')} AS license_class,
+                 {spdx_sql('content')} AS spdx_id
+          FROM d
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               license_class,
+               spdx_id,
+               CAST(round(round(CASE WHEN len(content) > 0
+                    THEN (len(content) - len({stripped})) * 1.0 / len(content)
+                    ELSE 0 END, 6), 4) AS DOUBLE) AS comment_ratio
+        FROM c
+        WHERE license_class IN ('permissive', 'none')
+    """
+
+
+_PIPELINE_CORPUS_GATE_SQL = _pipeline_corpus_gate_sql()
 
 
 def _dp_noise_sql() -> str:
@@ -1670,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_files
             FROM s GROUP BY lang
         """,
+        "pipeline_corpus_gate": _PIPELINE_CORPUS_GATE_SQL,
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """
             SELECT doc_id,

@@ -77,12 +77,39 @@ def comment_ratio_expr(col: Column, lang: Column | None = None) -> Column:
 def with_comment_features(
     df: DataFrame, content_col: str = "content", lang_col: str | None = "lang"
 ) -> DataFrame:
-    """df + content_nocomments + comment_ratio (pure projection)."""
+    """df + content_nocomments + comment_ratio (pure projection).
+
+    The ratio is derived from the content_nocomments COLUMN (not a second
+    strip_comments_expr build): CollapseProject declines to inline a
+    non-cheap expression referenced twice, so the executed plan keeps two
+    stacked Projects in one codegen span and evaluates the strip chain
+    exactly once — tests/test_plans.py asserts that shape."""
     c = F.col(content_col)
     lang = F.col(lang_col) if lang_col and lang_col in df.columns else None
-    return df.withColumn(
-        "content_nocomments", strip_comments_expr(c, lang)
-    ).withColumn("comment_ratio", comment_ratio_expr(c, lang))
+    out = df.withColumn("content_nocomments", strip_comments_expr(c, lang))
+    total = F.length(c)
+    ratio = F.when(
+        total > 0, (total - F.length(F.col("content_nocomments"))) / total
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("comment_ratio", ratio)
+
+
+def strip_comments_sql(expr: str, lang: str | None = None) -> str:
+    """DuckDB twin of strip_comments_expr over the SQL expression ``expr``
+    for ONE language (or the no-lang all-patterns path) — generated from the
+    SAME pattern table so oracle and engine can never silently diverge."""
+    patterns = (
+        LANG_COMMENT_PATTERNS.get(lang, _ALL_PATTERNS)
+        if lang is not None
+        else _ALL_PATTERNS
+    )
+    out = expr
+    for pat in patterns:
+        # standard-SQL single-quoted literals: backslashes pass through
+        # verbatim (no doubling), only quotes would need escaping — and the
+        # pattern table contains none
+        out = f"regexp_replace({out}, '{pat}', '', 'g')"
+    return out
 
 
 def comments_python(text: str, lang: str | None = None) -> str:

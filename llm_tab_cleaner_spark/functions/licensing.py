@@ -121,6 +121,32 @@ def license_filter(
     return df.filter(license_class_expr(F.col(content_col)).isin(*allow))
 
 
+def license_class_sql(expr: str, scan_chars: int = LICENSE_SCAN_CHARS) -> str:
+    """DuckDB twin of license_class_expr over the SQL expression ``expr`` —
+    generated from the SAME marker tables so oracle and engine can never
+    silently diverge (CLAUDE.md one-place rule)."""
+    head = f"substr({expr}, 1, {scan_chars})"
+
+    def chain(markers: tuple[str, ...]) -> str:
+        return " OR ".join(f"contains({head}, '{m}')" for m in markers)
+
+    return (
+        f"CASE WHEN {chain(COPYLEFT_MARKERS)} THEN 'copyleft' "
+        f"WHEN {chain(PERMISSIVE_MARKERS)} THEN 'permissive' "
+        f"WHEN {chain(RESTRICTED_MARKERS)} THEN 'restricted' "
+        f"ELSE 'none' END"
+    )
+
+
+def spdx_sql(expr: str, scan_chars: int = LICENSE_SCAN_CHARS) -> str:
+    """DuckDB twin of spdx_expr (same anchored pattern, NULL when absent)."""
+    tag = (
+        f"regexp_extract(substr({expr}, 1, {scan_chars}), "
+        f"'{SPDX_PATTERN}', 1)"
+    )
+    return f"nullif({tag}, '')"
+
+
 def license_counts(df: DataFrame, content_col: str = "content") -> DataFrame:
     """(license_class, spdx_id, n_files) rollup — one partial-aggregated
     groupBy over the projected class/tag columns."""

@@ -41,6 +41,20 @@ class PipelineConfig:
     # a fitted operators.calibration.Calibrator: adds confidence_calibrated
     # (native when-chain / sigmoid, zero UDF) next to the raw confidence
     calibrator: object | None = None
+    # ---- opt-in corpus stages (beyond-reference X21/X22) ----
+    # license_allow: route files by header license class BEFORE the scorer
+    # runs — the standard pretraining shape (drop copyleft/restricted files
+    # before paying Arrow transfer + scorer cost for them; the class comes
+    # from a bounded 2 KiB header scan, so the gate is ~free per file).
+    # e.g. ("permissive", "none"). The result carries license_class and
+    # spdx_id columns. None (default) = no gate, no columns.
+    license_allow: tuple[str, ...] | None = None
+    # add license_class/spdx_id columns WITHOUT filtering (inventory mode)
+    with_license_columns: bool = False
+    # add a comment_ratio column (fraction of characters that are comments,
+    # language-scoped via the `lang` column when present) — a quality
+    # feature for code corpora; pure native projection, no extra UDF stage
+    with_comment_ratio: bool = False
 
 
 @dataclass
@@ -69,7 +83,40 @@ class CleanPipeline:
         self.state = StateStore(self.config.state_dir) if self.config.state_dir else None
 
     # ---- core run ----
+    def prepare(self, df: DataFrame) -> DataFrame:
+        """Opt-in native corpus stages that run BEFORE the scorer UDF: the
+        license gate (drop disallowed classes before paying scorer cost for
+        them) and the comment-ratio feature. All pure projections/filters —
+        the pipeline stays single-Arrow-stage and shuffle-free
+        (tests/test_plans.py). Public so the gate can run standalone
+        (inventory a corpus without scoring it); ``score``/``run`` call it
+        automatically."""
+        from llm_tab_cleaner_spark.functions.code_comments import comment_ratio_expr
+        from llm_tab_cleaner_spark.functions.licensing import (
+            LICENSE_CLASSES,
+            with_license,
+        )
+
+        cfg = self.config
+        if cfg.license_allow is not None or cfg.with_license_columns:
+            df = with_license(df)
+            if cfg.license_allow is not None:
+                bad = [c for c in cfg.license_allow if c not in LICENSE_CLASSES]
+                if bad:
+                    raise ValueError(
+                        f"unknown license classes: {bad} (choose from {LICENSE_CLASSES})"
+                    )
+                df = df.filter(F.col("license_class").isin(*cfg.license_allow))
+        if cfg.with_comment_ratio:
+            lang = F.col("lang") if "lang" in df.columns else None
+            df = df.withColumn(
+                "comment_ratio",
+                F.round(comment_ratio_expr(F.col("content"), lang), 6),
+            )
+        return df
+
     def score(self, df: DataFrame) -> DataFrame:
+        df = self.prepare(df)
         result, self.model = apply_quality_filter(
             df,
             self.spark,

@@ -1,0 +1,78 @@
+"""Opt-in corpus stages on CleanPipeline (round-4 VERDICT #5): the license
+gate drops disallowed classes BEFORE the scorer, and comment_ratio rides the
+result — the standard shape of a pretraining pipeline over code."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+
+
+def _corpus(spark):
+    rows = [
+        # (path, lang, content) — classes: permissive, copyleft, restricted, none
+        ("a.py", "python", "# SPDX-License-Identifier: MIT\n# MIT License\ndef f():\n    return 1  # tail\n"),
+        ("b.c", "c", "/* GNU General Public License v3 */\nint main() { return 0; } // entry\n"),
+        ("c.js", "javascript", "// Proprietary and confidential\nvar x = 1;\n"),
+        ("d.go", "go", "package main\n\nfunc main() {}\n"),
+    ]
+    pdf = pd.DataFrame(
+        [("r", p, f"c{i}", lang, content) for i, (p, lang, content) in enumerate(rows)],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_license_gate_drops_before_scoring(spark):
+    pipe = CleanPipeline(
+        spark,
+        PipelineConfig(license_allow=("permissive", "none"), with_comment_ratio=True),
+    )
+    result, audit = pipe.run(_corpus(spark))
+    out = result.toPandas().set_index("path")
+    # copyleft (b.c) and restricted (c.js) never reach the result
+    assert set(out.index) == {"a.py", "d.go"}
+    assert out.loc["a.py", "license_class"] == "permissive"
+    assert out.loc["a.py", "spdx_id"] == "MIT"
+    assert out.loc["d.go", "license_class"] == "none"
+    assert pd.isna(out.loc["d.go", "spdx_id"])
+    # comment_ratio: a.py has two full-line + one tail comment; d.go none
+    assert out.loc["a.py", "comment_ratio"] > 0.5
+    assert out.loc["d.go", "comment_ratio"] == 0.0
+    # the audit never saw the gated-out rows either
+    assert audit.filter("path in ('b.c', 'c.js')").count() == 0
+
+
+def test_inventory_mode_keeps_all_rows(spark):
+    pipe = CleanPipeline(spark, PipelineConfig(with_license_columns=True))
+    result, _ = pipe.run(_corpus(spark))
+    out = result.toPandas()
+    assert len(out) == 4
+    assert set(out.license_class) == {"permissive", "copyleft", "restricted", "none"}
+
+
+def test_unknown_license_class_rejected(spark):
+    pipe = CleanPipeline(spark, PipelineConfig(license_allow=("permissive", "gplv4")))
+    with pytest.raises(ValueError, match="unknown license classes"):
+        pipe.run(_corpus(spark))
+
+
+def test_comment_ratio_is_language_scoped(spark):
+    """python rows must not have // stripped; the when-chain routes by lang."""
+    pdf = pd.DataFrame(
+        [
+            ("r", "u.py", "c0", "python", "url = 'http://x'  # note\n"),
+            ("r", "u.js", "c1", "javascript", "var url = 1 // note\n"),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    pipe = CleanPipeline(spark, PipelineConfig(with_comment_ratio=True))
+    result, _ = pipe.run(spark.createDataFrame(pdf))
+    out = result.toPandas().set_index("path")
+    # python: only the '# note' tail strips — the '//' inside the string
+    # survives (hash-only markers for python)
+    assert 0 < out.loc["u.py", "comment_ratio"] < 0.5
+    # javascript: the // tail strips
+    assert out.loc["u.js", "comment_ratio"] > 0.0
