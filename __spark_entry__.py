@@ -1677,14 +1677,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT col_name, original || '~' AS value FROM pats
             ), vg AS (
               SELECT col_name, value,
-                     CASE WHEN len(value) < 3 THEN [value]
+                     CASE WHEN len(value) = 0 THEN []::VARCHAR[]
+                          WHEN len(value) < 3 THEN [value]
                           ELSE list_distinct(list_transform(
                                  generate_series(1, len(value) - 2),
                                  i -> substr(value, i, 3))) END AS grams
               FROM vals
             ), pg AS (
               SELECT col_name, original, cleaned, frequency, confidence,
-                     CASE WHEN len(original) < 3 THEN [original]
+                     CASE WHEN len(original) = 0 THEN []::VARCHAR[]
+                          WHEN len(original) < 3 THEN [original]
                           ELSE list_distinct(list_transform(
                                  generate_series(1, len(original) - 2),
                                  i -> substr(original, i, 3))) END AS grams

@@ -70,14 +70,21 @@ def char_ngrams(s: str, n: int = 3) -> set[str]:
 
 
 def _char_ngram_col(c: Column, n: int = 3) -> Column:
-    """char_ngrams as a native column expression (identical gram sets)."""
+    """char_ngrams as a native column expression (identical gram sets).
+    Empty strings map to an EMPTY array — char_ngrams('') is set(), and a
+    one-element [''] gram set could Jaccard-match an empty-string pattern,
+    diverging from the driver path (round-4 ADVICE)."""
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(c) - (n - 1)),
             lambda i: c.substr(i, F.lit(n)),
         )
     )
-    return F.when(F.length(c) < n, F.array(c)).otherwise(grams)
+    return (
+        F.when(F.length(c) == 0, F.array().cast("array<string>"))
+        .when(F.length(c) < n, F.array(c))
+        .otherwise(grams)
+    )
 
 
 def fuzzy_match_df(
@@ -102,11 +109,14 @@ def fuzzy_match_df(
     match patterns learned for that column (the reference's data_type
     scoping).
 
+    Every input ROW of ``values_df`` gets its own best match — duplicate
+    values in different rows each keep their row (the ranking window
+    partitions on a per-row id, not the value; round-4 ADVICE fixed the
+    silent collapse of same-value rows).
+
     Scale shape: the pattern table is bounded (max_patterns) and
     BROADCAST, so this is a map-side join + per-row gram intersection —
-    no shuffle of the values at all; the row_number window partitions by
-    the value row's key, which for distinct-value inputs AQE coalesces
-    into the same scan-shaped stages. Lambda HOFs are fine here (suggest
+    no shuffle of the values at all. Lambda HOFs are fine here (suggest
     paths run over audit-scale tables, not the corpus hot path)."""
     from pyspark.sql import Window
 
@@ -121,7 +131,12 @@ def fuzzy_match_df(
             _char_ngram_col(F.col("original"), n).alias("_pg"),
         )
     )
-    v = values_df.withColumn("_vg", _char_ngram_col(F.col(value_col), n))
+    # per-row id: the ranking window must keep one winner PER INPUT ROW,
+    # not per distinct value (the id is partition-order-dependent but only
+    # ever used as a partition key, so the output is deterministic)
+    v = values_df.withColumn("_rid", F.monotonically_increasing_id()).withColumn(
+        "_vg", _char_ngram_col(F.col(value_col), n)
+    )
     if column_col is not None:
         joined = v.join(F.broadcast(pat), F.col(column_col) == F.col("_p_col"))
     else:
@@ -132,9 +147,7 @@ def fuzzy_match_df(
         "_sim",
         F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
     ).filter(F.col("_sim") >= min_similarity)
-    w = Window.partitionBy(
-        value_col, *([column_col] if column_col is not None else [])
-    ).orderBy(
+    w = Window.partitionBy("_rid").orderBy(
         F.desc("_sim"), F.desc("_p_freq"), F.desc("_p_conf"),
         F.asc("_p_out"), F.asc("_p_in"),
     )
@@ -398,8 +411,10 @@ class PatternLearner:
         deterministic fuzzy tier for the rest (fuzzy_match_df). Returns the
         values_df columns + matched_input, suggested, similarity,
         suggestion_confidence; rows with no suggestion are absent, like the
-        reference's None. Pattern table is driver-bounded (max_patterns)
-        and broadcast — the corpus never shuffles for the exact tier.
+        reference's None, and every input ROW keeps its own match (duplicate
+        values across rows do not collapse). Pattern table is driver-bounded
+        (max_patterns) and broadcast — the corpus never shuffles for the
+        exact tier.
 
         Divergence from the driver-side suggest_fix when ``column_col`` is
         given: column-LESS patterns (column=None) never match here — the
@@ -421,17 +436,18 @@ class PatternLearner:
             cond = (F.col(value_col) == F.col("_p_in")) & (
                 F.col(column_col) == F.col("_p_col")
             )
-            part = [value_col, column_col]
         else:
             cond = F.col(value_col) == F.col("_p_in")
-            part = [value_col]
-        # tie-break matches driver suggest_fix's exact tier exactly:
+        # per-row id (round-4 ADVICE): one winner PER INPUT ROW — duplicate
+        # values in different rows must each keep their row. Tie-break
+        # matches driver suggest_fix's exact tier exactly:
         # max by (frequency, confidence, output) → output DESC last
-        w = Window.partitionBy(*part).orderBy(
+        vals = values_df.withColumn("_rid", F.monotonically_increasing_id())
+        w = Window.partitionBy("_rid").orderBy(
             F.desc("_p_freq"), F.desc("_p_conf"), F.desc("_p_out")
         )
         exact = (
-            values_df.join(F.broadcast(exact_pat), cond)
+            vals.join(F.broadcast(exact_pat), cond)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(

@@ -199,3 +199,60 @@ def test_suggest_fixes_df_agrees_with_driver(spark):
     # exact matches carry similarity 1.0 and the raw confidence
     assert got.loc["california", "similarity"] == 1.0
     assert got.loc["california", "suggestion_confidence"] == 0.9
+
+
+def test_suggest_fixes_df_keeps_duplicate_value_rows(spark):
+    """Round-4 ADVICE: two input ROWS carrying the same value (different
+    ids) must BOTH come back — the ranking window partitions per row, not
+    per distinct value."""
+    from llm_tab_cleaner_spark.compat import Fix
+
+    learner = PatternLearner()
+    for _ in range(3):
+        learner.learn_from_fix(Fix(column="state", row_index=None,
+                                   original="california", cleaned="CA",
+                                   confidence=0.9))
+    vdf = spark.createDataFrame(
+        pd.DataFrame({
+            "row_id": [1, 2, 3, 4],
+            "column": ["state"] * 4,
+            "value": ["california", "california", "califormia", "califormia"],
+        })
+    )
+    got = learner.suggest_fixes_df(vdf, "value", column_col="column").toPandas()
+    assert sorted(got.row_id) == [1, 2, 3, 4]
+    assert (got.suggested == "CA").all()
+    # exact rows keep similarity 1.0; fuzzy rows keep their own score
+    assert (got.set_index("row_id").loc[[1, 2], "similarity"] == 1.0).all()
+    assert (got.set_index("row_id").loc[[3, 4], "similarity"] < 1.0).all()
+
+
+def test_fuzzy_empty_value_matches_driver(spark):
+    """char_ngrams('') is set() driver-side (no suggestion); the column path
+    must agree — an empty value grams to an EMPTY array, never [''], so it
+    can't Jaccard-match anything (round-4 ADVICE)."""
+    from llm_tab_cleaner_spark.operators.adaptive import (
+        _char_ngram_col,
+        char_ngrams,
+        fuzzy_match_df,
+    )
+    from pyspark.sql import functions as F
+
+    assert char_ngrams("") == set()
+    got = (
+        spark.range(1)
+        .select(_char_ngram_col(F.lit("")).alias("g"))
+        .first()["g"]
+    )
+    assert list(got) == []
+
+    pats = pd.DataFrame({
+        "column": ["c"], "original": [""], "cleaned": ["x"],
+        "frequency": [2], "confidence": [0.9],
+    })
+    vals = pd.DataFrame({"column": ["c"], "value": [""]})
+    out = fuzzy_match_df(
+        spark.createDataFrame(vals), spark.createDataFrame(pats),
+        "value", column_col="column",
+    ).toPandas()
+    assert len(out) == 0  # driver _fuzzy_suggest('') returns None too
