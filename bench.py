@@ -23,8 +23,12 @@ a slow one (work_conservation 3.8; the judge's interleaved re-measurement of
 the identical job got 0.899 at conservation 0.996). The bench now runs
 $SPARK_GRAFT_SCALING_PAIRS (default 4) interleaved N→4N pairs, emits every
 pair, flags pairs whose work-conservation falls outside [0.6, 1.8] as
-host-window artifacts (a clean pair conserves work ≈1.0), and reports
-best/median efficiency over the plausible pairs.
+host-window artifacts (a clean pair conserves work ≈1.0). Round-5
+(round-4 VERDICT #4): headline fields come from the CLEANEST pair
+(conservation nearest 1.0) among pairs passing a STRICT gate —
+conservation in [0.8, 1.25] and efficiency ≤ 1.15 (super-unitary scaling
+is host turbulence by definition) — with the median over the same strict
+set; best-of is demoted to the secondary efficiency_best field.
 
 Default pair mode is SAME-SESSION (SPARK_GRAFT_SCALING_MODE=samesession):
 parallelism is set by partition count — the identical pipeline over
@@ -412,23 +416,38 @@ def main() -> None:
                     )
             pair_rows.append(row)
         ok = [p for p in pair_rows if p["plausible"]] or pair_rows
+        # STRICT headline gate (round-4 VERDICT #4 / ADVICE): the loose
+        # plausibility band [0.6, 1.8] lets a mid-pair host-window shift
+        # inflate a pair's wall ratio (r4 recorded efficiency 1.548 at
+        # conservation 0.656 as "plausible") — so headline stats come only
+        # from pairs a skeptic would accept: conservation in [0.8, 1.25]
+        # AND efficiency ≤ 1.15 (super-unitary scaling is host turbulence
+        # by definition). All pairs are still emitted.
+        strict = [
+            p for p in ok
+            if p["work_conservation"] is not None
+            and 0.8 <= p["work_conservation"] <= 1.25
+            and p["efficiency"] <= 1.15
+        ] or ok
         best = max(ok, key=lambda p: p["efficiency"])
         # the cleanest pair (conservation nearest 1) is the one whose WALL
         # ratio is most trustworthy — the north-rule gate read directly
-        cleanest = min(ok, key=lambda p: abs((p["work_conservation"] or 99) - 1))
-        effs = sorted(p["efficiency"] for p in ok)
+        cleanest = min(strict, key=lambda p: abs((p["work_conservation"] or 99) - 1))
+        effs = sorted(p["efficiency"] for p in strict)
         out["scaling"] = {
             "mode": scaling_mode,
             "cpus_n": n_small,
             "cpus_4n": n_big,
             "pairs": pair_rows,
             "pairs_plausible": sum(p["plausible"] for p in pair_rows),
-            # headline fields = the BEST plausible pair (host noise only
-            # ever degrades a ratio on this VM — see BENCH/BASELINE.md —
-            # so best-of is the engine number, median the conservative one)
-            "files_per_sec_n": best["files_per_sec_n"],
-            "files_per_sec_4n": best["files_per_sec_4n"],
-            "efficiency": best["efficiency"],
+            "pairs_strict": len(strict) if strict is not ok else 0,
+            # headline fields = the CLEANEST strict pair (conservation
+            # nearest 1.0 — the wall ratio a skeptic would trust); best-of
+            # is demoted to the secondary efficiency_best field
+            "files_per_sec_n": cleanest["files_per_sec_n"],
+            "files_per_sec_4n": cleanest["files_per_sec_4n"],
+            "efficiency": cleanest["efficiency"],
+            "efficiency_best": best["efficiency"],
             "efficiency_median": effs[len(effs) // 2],
             "efficiency_cleanest_pair": cleanest["efficiency"],
             "work_conservation_cleanest_pair": cleanest["work_conservation"],
@@ -446,9 +465,9 @@ def main() -> None:
                 if "efficiency_vs_control" in cleanest
                 else {}
             ),
-            "cpu_seconds_n": best["cpu_seconds_n"],
-            "cpu_seconds_4n": best["cpu_seconds_4n"],
-            "work_conservation": best["work_conservation"],
+            "cpu_seconds_n": cleanest["cpu_seconds_n"],
+            "cpu_seconds_4n": cleanest["cpu_seconds_4n"],
+            "work_conservation": cleanest["work_conservation"],
         }
         if control is not None:
             # pure-compute control pair (measured adjacent to the engine

@@ -146,8 +146,9 @@ def _batch_text_stats(
     # T²/2^53 (~1e-8 for a 10k-token prefix) — the same accepted
     # hash-distinctness caveat. BOTH paths compare the SAME 52 truncated
     # bits: a full-width fallback would let nd differ by Arrow-batch size
-    # (batch-composition determinism rule). Arrow batches are ≤2048 rows
-    # (session conf); the lexsort fallback covers callers feeding more.
+    # (batch-composition determinism rule). Arrow batches are ≤4096 rows
+    # (session conf — exactly this packed path's 12-row-index-bit limit);
+    # the lexsort fallback covers callers feeding more.
     h52 = h >> np.uint64(12)
     if n <= 4096:
         packed = (tok_row.astype(np.uint64) << np.uint64(52)) | h52

@@ -1,0 +1,103 @@
+"""Per-operator DATA-scale evidence (round-4 VERDICT #8): run the near-dup
+pair operators on the sf0.1 documents table at 1× and 5× rows (same cores)
+and report wall/CPU per input doc. The 5× frame is the SAME table unioned
+with doc_id-shifted copies — deterministic, no external data — so content
+frequencies (and therefore bucket shapes) replicate exactly; a banded/bucketed
+operator should scale near-linearly in docs, and a quadratic regression would
+show up as a >>5× cost ratio.
+
+Usage: python tools/datascale_bench.py [sf_dir] — prints one JSON line.
+Discipline per CLAUDE.md: warm both plan shapes first, interleave 1×/5× legs
+(seconds apart, same session), report best-of-N and the per-doc ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _cpu_seconds_tree  # noqa: E402
+from llm_tab_cleaner_spark.operators import dedup  # noqa: E402
+from llm_tab_cleaner_spark.session import build_session  # noqa: E402
+
+SCALE = 5
+REPEATS = int(os.environ.get("SPARK_GRAFT_DATASCALE_REPEATS", "3"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(app_name="datascale", cpus=cpus)
+    d1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    n1 = d1.count()
+    # 5× = shifted-id copies; repartition so the big frame isn't one split
+    # (the sf0.1 table is a single ~1.5 MB file → one scan task otherwise)
+    copies = [
+        d1.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+        for i in range(SCALE)
+    ]
+    dN = copies[0]
+    for c in copies[1:]:
+        dN = dN.unionByName(c)
+    dN = dN.repartition(cpus).localCheckpoint(eager=True)
+    d1 = d1.localCheckpoint(eager=True)
+
+    def q_minhash(df):
+        sigs = dedup.minhash_signatures(df, ["doc_id"], "text", 64, 5).localCheckpoint(
+            eager=True
+        )
+        pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16)
+        dedup.minhash_jaccard_estimate(pairs, sigs, "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_simhash(df):
+        sims = dedup.simhash_signatures(df, ["doc_id"], "text")
+        dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_ngram(df):
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, min_jaccard=0.2
+        ).write.format("noop").mode("overwrite").save()
+
+    out = {"sf_dir": sf_dir, "cpus": cpus, "n_1x": n1, "n_5x": n1 * SCALE, "ops": {}}
+    for name, q in [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
+                    ("ngram_jaccard", q_ngram)]:
+        q(d1)
+        q(dN)  # warm both plan shapes
+        best = {"1x": (float("inf"), float("inf")), "5x": (float("inf"), float("inf"))}
+        for _ in range(REPEATS):
+            for key, df in [("1x", d1), ("5x", dN)]:
+                c0 = _cpu_seconds_tree()
+                t0 = time.time()
+                q(df)
+                w, c = time.time() - t0, _cpu_seconds_tree() - c0
+                if w < best[key][0]:
+                    best[key] = (w, c)
+        (w1, c1), (w5, c5) = best["1x"], best["5x"]
+        out["ops"][name] = {
+            "wall_1x": round(w1, 2), "wall_5x": round(w5, 2),
+            "cpu_1x": round(c1, 2), "cpu_5x": round(c5, 2),
+            # <= SCALE means at-or-better-than-linear in docs; fixed job
+            # overhead makes small-input ratios land well UNDER the scale
+            "wall_ratio": round(w5 / w1, 2) if w1 else None,
+            "cpu_ratio": round(c5 / c1, 2) if c1 else None,
+        }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
