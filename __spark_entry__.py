@@ -992,6 +992,22 @@ def _q_embedding_near_dup(spark, sf):
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    """Near-dup cluster assignment (pairs → connected components → min-id
+    component label) over the same token-3-gram Jaccard pairs ngram_jaccard
+    emits; the oracle computes the transitive closure with a recursive CTE
+    over the SAME pair SQL. The iterative hash-min loop is the one
+    operator here whose Spark form is NOT one SQL statement — exactly why
+    it gets its own oracle-checked entry."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2)
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2).select(
@@ -1030,7 +1046,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_domains": _q_email_domains,
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
-        "topk_parts": _q_topk_parts,
         "rare_brands": _q_rare_brands,
         "calibration_bins": _q_calibration_bins,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
@@ -1063,8 +1078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_stats": _q_license_stats,
         "comment_stats": _q_comment_stats,
         "pipeline_corpus_gate": _q_pipeline_corpus_gate,
+        "dedup_clusters": _q_dedup_clusters,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # six below ARE oracled — tools/parity_check.py verifies them ----
+        # seven below ARE oracled — tools/parity_check.py verifies them ----
+        "topk_parts": _q_topk_parts,
         "event_bins": _q_event_bins,
         "short_docs": _q_short_docs,
         "embedding_norms": _q_embedding_norms,
@@ -1084,6 +1101,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> len(t) > 0)"
 _NULLISH_LIST = ", ".join(f"'{t}'" for t in TH.NULLISH_TOKENS)
 _STOPS_SQL = ", ".join(f"'{t}'" for t in TA.STOPWORDS)
+
+#: shared token-3-gram candidate-pair CTE (ids + intersection + set sizes,
+#: pre-threshold) — ngram_jaccard and dedup_clusters both build on it so the
+#: pair set can never silently diverge between them
+_NGRAM_PAIRS_CTE = f"""g AS (
+              SELECT doc_id AS id, list_distinct(list_transform(
+                       generate_series(1, greatest(len({_TOKS}) - 2, 0)),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))) AS grams
+              FROM documents
+            ), gg AS (SELECT id, grams, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
+            e AS (SELECT id, unnest(grams) AS gram, n_grams FROM gg),
+            inter AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter,
+                     any_value(x.n_grams) AS na, any_value(y.n_grams) AS nb
+              FROM e x JOIN e y USING (gram) WHERE x.id < y.id
+              GROUP BY x.id, y.id
+            )"""
 
 
 def _lsh_topk_sql() -> str:
@@ -1859,21 +1893,31 @@ def oracle_sql() -> dict[str, str]:
                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.8
         """,
         "ngram_jaccard": f"""
-            WITH g AS (
-              SELECT doc_id AS id, list_distinct(list_transform(
-                       generate_series(1, greatest(len({_TOKS}) - 2, 0)),
-                       i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))) AS grams
-              FROM documents
-            ), gg AS (SELECT id, grams, len(grams) AS n_grams FROM g WHERE len(grams) > 0),
-            e AS (SELECT id, unnest(grams) AS gram, n_grams FROM gg),
-            inter AS (
-              SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter,
-                     any_value(x.n_grams) AS na, any_value(y.n_grams) AS nb
-              FROM e x JOIN e y USING (gram) WHERE x.id < y.id
-              GROUP BY x.id, y.id
-            )
+            WITH {_NGRAM_PAIRS_CTE}
             SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
             FROM inter WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.2
+        """,
+        "dedup_clusters": f"""
+            -- transitive closure over the SAME pair CTE ngram_jaccard uses:
+            -- component = min id reachable through the pair graph (the
+            -- engine's hash-min fixpoint computes exactly this)
+            WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+            p AS (
+              SELECT id_a, id_b FROM inter
+              WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            )
+            SELECT CAST(src AS BIGINT) AS doc_id,
+                   CAST(least(src, min(dst)) AS BIGINT) AS component
+            FROM reach GROUP BY src
         """,
         # minhash_pairs / simhash_pairs / quality_filter_docs: model/UDF-backed,
         # not SQL-expressible → driver rows-only check.

@@ -636,3 +636,95 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs_df: DataFrame, a_col: str, b_col: str, max_iters: int = 25
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs_df`` — component =
+    the MINIMUM id reachable through the pair graph. The standard final
+    stage of a near-dup pipeline: LSH/banding emits pairs, components turn
+    pairs into clusters, and one winner per cluster survives
+    (near_dup_keep). No counterpart in the reference (its dedup is exact
+    record-hash only, incremental.py:248-281).
+
+    Algorithm: hash-min label propagation — each iteration joins labels to
+    the (bidirectional) edge list and takes the per-node min over
+    neighbors ∪ self, so labels flow along shortest paths and the loop
+    converges in graph-diameter iterations. Near-dup clusters are dense
+    and tiny (dup groups, not social graphs), so diameter is single-digit;
+    a graph still moving after ``max_iters`` raises rather than returning
+    silently-wrong clusters.
+
+    Scale shape: every iteration is one shuffle keyed on ids (join) + one
+    partial-aggregated min — payloads are two longs per edge, never
+    content. Each round is localCheckpointed: lineage stays flat (an
+    unbounded iterative plan re-executes the whole history per action) and
+    the convergence check is a cheap driver-side aggregate. Convergence is
+    detected via sum(component), which strictly decreases until fixpoint
+    (labels only ever decrease). At 10^12 edges you would swap the loop
+    body for the large-star/small-star variant; the join shape per round
+    is identical."""
+    src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    half = pairs_df.select(src, dst)
+    edges = (
+        half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("component").alias("_nc")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nc").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("_nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations — "
+        "the pair graph has a longer diameter than any near-dup cluster "
+        "should; raise max_iters or inspect the pair generator"
+    )
+
+
+def near_dup_keep(
+    df: DataFrame,
+    id_col: str,
+    pairs_df: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """``df`` minus non-winner near-dup cluster members: connected
+    components over the pair graph, keep the min-id doc of every cluster,
+    and every doc that is in no pair. The anti-join ships only the loser
+    id list (cluster sizes minus one per cluster), never content."""
+    comp = connected_components(pairs_df, a_col, b_col)
+    losers = comp.filter(F.col("component") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

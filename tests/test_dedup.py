@@ -233,3 +233,48 @@ def test_stopword_ratio(spark):
     assert out.loc[1, "r"] == 0.6  # the, and, the of 5 tokens
     assert out.loc[2, "r"] == 0.0
     assert out.loc[3, "r"] == 0.0
+
+
+def test_connected_components_hand_graph(spark):
+    """Two clusters + a chain: component = min reachable id; isolated ids
+    (absent from pairs) are absent from the output by contract."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [1, 2, 10, 20, 21], "id_b": [2, 3, 11, 21, 22]}
+        )
+    )
+    got = dedup.connected_components(pairs, "id_a", "id_b").toPandas()
+    comp = dict(zip(got.id, got.component))
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-hop chain exercises multi-iteration propagation (hash-min needs
+    ~diameter rounds) and still lands everything on the min id."""
+    n = 13
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": list(range(n - 1)), "id_b": list(range(1, n))})
+    )
+    got = dedup.connected_components(pairs, "id_a", "id_b").toPandas()
+    assert set(got.component) == {0}
+    assert sorted(got.id) == list(range(n))
+
+
+def test_near_dup_keep_one_winner_per_cluster(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 7, 10, 11], "text": ["x"] * 6})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+    )
+    kept = dedup.near_dup_keep(df, "doc_id", pairs).toPandas()
+    # winners 1 and 10 survive their clusters; 7 (no pair) passes through
+    assert sorted(kept.doc_id) == [1, 7, 10]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 2, 3], "id_b": [1, 2, 3, 4]})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, "id_a", "id_b", max_iters=1)

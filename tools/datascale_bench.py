@@ -1,14 +1,22 @@
 """Per-operator DATA-scale evidence (round-4 VERDICT #8): run the near-dup
 pair operators on the sf0.1 documents table at 1× and 5× rows (same cores)
-and report wall/CPU per input doc. The 5× frame is the SAME table unioned
-with doc_id-shifted copies — deterministic, no external data — so content
-frequencies (and therefore bucket shapes) replicate exactly; a banded/bucketed
-operator should scale near-linearly in docs, and a quadratic regression would
-show up as a >>5× cost ratio.
+and report wall/CPU per input doc.
+
+The 5× frame is the SAME table unioned with doc_id-shifted copies whose text
+passes through a PER-COPY injective vowel-rotation (`translate`) —
+deterministic, no external data. Token/shingle equality is invariant under
+an injective char map, so each copy's internal pair structure is exactly
+isomorphic to the original (total pairs = 5× the 1× pairs), while copies are
+mutually gram-disjoint. Naive replication would instead put every doc in a
+5-clique of identical content — pair output ×25, measuring cluster explosion
+rather than linearity (first run of this tool demonstrated exactly that:
+cpu_ratio ≈ 21 for minhash).
 
 Usage: python tools/datascale_bench.py [sf_dir] — prints one JSON line.
 Discipline per CLAUDE.md: warm both plan shapes first, interleave 1×/5× legs
 (seconds apart, same session), report best-of-N and the per-doc ratio.
+CPU deltas can go negative when python workers exit inside a measured window
+(the /proc meter counts live descendants only); such legs are discarded.
 """
 
 from __future__ import annotations
@@ -40,10 +48,25 @@ def main() -> None:
         "doc_id", "text"
     )
     n1 = d1.count()
-    # 5× = shifted-id copies; repartition so the big frame isn't one split
-    # (the sf0.1 table is a single ~1.5 MB file → one scan task otherwise)
+    # 5× = shifted-id, vowel-rotated copies (see module docstring);
+    # repartition so the big frame isn't one split (the sf0.1 table is a
+    # single ~1.5 MB file → one scan task otherwise)
+    vowels = "aeiouAEIOU"
+
+    def rotated(i: int) -> str:
+        lo, up = vowels[:5], vowels[5:]
+        k = i % 5
+        return lo[k:] + lo[:k] + up[k:] + up[:k]
+
     copies = [
-        d1.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+        d1.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (
+                F.col("text")
+                if i == 0
+                else F.translate(F.col("text"), vowels, rotated(i))
+            ).alias("text"),
+        )
         for i in range(SCALE)
     ]
     dN = copies[0]
@@ -84,7 +107,9 @@ def main() -> None:
                 t0 = time.time()
                 q(df)
                 w, c = time.time() - t0, _cpu_seconds_tree() - c0
-                if w < best[key][0]:
+                # a worker exiting inside the window makes the live-tree
+                # delta negative — discard that leg's CPU reading
+                if w < best[key][0] and c >= 0:
                     best[key] = (w, c)
         (w1, c1), (w5, c5) = best["1x"], best["5x"]
         out["ops"][name] = {
