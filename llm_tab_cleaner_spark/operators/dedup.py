@@ -407,7 +407,17 @@ def simhash_near_dup_pairs(
     from banding (exact-dup material, route through exact_dedup), and any
     (chunk, key) bucket larger than ``max_bucket_size`` is dropped before
     the self-join — identical-signature clusters that big are exact-dup
-    class, and their buckets are quadratic reducers at corpus scale."""
+    class, and their buckets are quadratic reducers at corpus scale.
+
+    SCALE CHARACTERISTIC (measured, tools/datascale_bench.py): the candidate
+    set grows as ~4·N²/2¹⁶ — 16-bit chunk keys give only 65k buckets per
+    chunk, so RANDOM collisions (not skew) dominate once N passes ~10⁵-10⁶
+    docs per corpus, and the 1×→5× CPU ratio runs super-linear while
+    minhash-LSH and n-gram Jaccard stay ~linear. SimHash banding is the
+    right tool up to moderate corpus sizes or per-partition (e.g. per-repo)
+    dedup; at full-corpus scale prefer lsh_candidate_pairs (band keys are
+    32-bit hashes of 4-slot signature slices — 2³² buckets) or widen the
+    chunk key (Manku-style multi-block probing) before the self-join."""
     sim_df = sim_df.filter(F.col("simhash") != 0)
     chunks = sim_df.select(
         id_col,

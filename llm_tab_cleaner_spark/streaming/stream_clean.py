@@ -165,15 +165,30 @@ def clean_stream(
     threshold: float = TH.CONF_THRESHOLD,
     trigger_seconds: float | None = None,
     queryName: str = "clean_stream",
+    config=None,
 ):
     """Score a streaming code-files DataFrame and append keep/confidence +
     scrubbed content to a parquet sink with exactly-once checkpointing
-    (ST1-ST3: spark.py:401-411's writeStream shape)."""
+    (ST1-ST3: spark.py:401-411's writeStream shape).
+
+    ``config`` (an optional PipelineConfig) enables the same opt-in corpus
+    stages the batch pipeline runs (license gate before the scorer,
+    comment_ratio feature): both are stateless native projections/filters,
+    so they compose with Structured Streaming unchanged, and their columns
+    ride the sink schema."""
+    if config is not None:
+        from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline
+
+        stream_df = CleanPipeline(spark, config).prepare(stream_df)
     scored, _model = apply_quality_filter(
         stream_df, spark, threshold=threshold, num_partitions=None
     )
+    extra = [
+        c for c in ("license_class", "spdx_id", "comment_ratio")
+        if c in scored.columns
+    ]
     out = scored.select(
-        "repo", "path", "commit", "lang", "keep", "confidence",
+        "repo", "path", "commit", "lang", *extra, "keep", "confidence",
         "content_clean", "content_sha256", "clean_sha256", "partition_id",
     )
     writer = (

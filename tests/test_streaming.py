@@ -154,3 +154,51 @@ def test_streaming_dedup_chunk_composition_invariance(spark, tmp_path):
     got = spark.read.parquet(out_dir).toPandas()
     assert len(got) == 1
     assert got.path.iloc[0] == "p4"  # global min across all chunks
+
+
+def test_stream_corpus_stages_gate_and_feature(spark, tmp_path):
+    """The opt-in license gate + comment_ratio compose with Structured
+    Streaming: gated-out classes never reach the sink, feature columns ride
+    the sink schema, and decisions match the batch pipeline with the same
+    config."""
+    from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
+    from llm_tab_cleaner_spark.streaming.stream_clean import (
+        clean_stream,
+        file_stream_source,
+    )
+
+    rows = [
+        ("r", "mit.py", "c0", "python",
+         "# SPDX-License-Identifier: MIT\ndef f():\n    return 1  # ok\n"),
+        ("r", "gpl.c", "c1", "c",
+         "/* GNU General Public License */\nint main() { return 0; }\n"),
+        ("r", "plain.go", "c2", "go", "package main\n\nfunc main() {}\n"),
+    ]
+    cf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    src = str(tmp_path / "src_gate")
+    os.makedirs(src)
+    spark.createDataFrame(cf).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = PipelineConfig(license_allow=("permissive", "none"), with_comment_ratio=True)
+    out_dir = str(tmp_path / "out_gate")
+    q = clean_stream(
+        file_stream_source(spark, src),
+        spark,
+        output_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt_gate"),
+        config=cfg,
+        queryName="gate_stream",
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out_dir).toPandas().set_index("path")
+    assert sorted(got.index) == ["mit.py", "plain.go"]  # gpl.c gated out
+    assert got.loc["mit.py", "license_class"] == "permissive"
+    assert got.loc["mit.py", "comment_ratio"] > 0
+
+    batch, _ = CleanPipeline(spark, cfg).run(spark.createDataFrame(cf))
+    want = batch.select("path", "keep", "confidence", "comment_ratio").toPandas().set_index("path")
+    for p in ("mit.py", "plain.go"):
+        assert got.loc[p, "keep"] == want.loc[p, "keep"]
+        assert got.loc[p, "confidence"] == want.loc[p, "confidence"]
+        assert got.loc[p, "comment_ratio"] == want.loc[p, "comment_ratio"]

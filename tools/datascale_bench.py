@@ -100,18 +100,25 @@ def main() -> None:
                     ("ngram_jaccard", q_ngram)]:
         q(d1)
         q(dN)  # warm both plan shapes
-        best = {"1x": (float("inf"), float("inf")), "5x": (float("inf"), float("inf"))}
+        legs: dict[str, list[tuple[float, float]]] = {"1x": [], "5x": []}
         for _ in range(REPEATS):
             for key, df in [("1x", d1), ("5x", dN)]:
                 c0 = _cpu_seconds_tree()
                 t0 = time.time()
                 q(df)
-                w, c = time.time() - t0, _cpu_seconds_tree() - c0
-                # a worker exiting inside the window makes the live-tree
-                # delta negative — discard that leg's CPU reading
-                if w < best[key][0] and c >= 0:
-                    best[key] = (w, c)
-        (w1, c1), (w5, c5) = best["1x"], best["5x"]
+                legs[key].append((time.time() - t0, _cpu_seconds_tree() - c0))
+
+        def agg(rows: list[tuple[float, float]]) -> tuple[float, float]:
+            # wall: best (host noise only inflates); CPU: MEDIAN of the
+            # non-negative readings — a worker exiting inside a window makes
+            # the live-tree delta under-read or go negative, and pairing
+            # "min wall" with "that leg's CPU" propagated those undercounts
+            wall = min(w for w, _ in rows)
+            cs = sorted(c for _, c in rows if c >= 0)
+            cpu = cs[len(cs) // 2] if cs else float("nan")
+            return wall, cpu
+
+        (w1, c1), (w5, c5) = agg(legs["1x"]), agg(legs["5x"])
         out["ops"][name] = {
             "wall_1x": round(w1, 2), "wall_5x": round(w5, 2),
             "cpu_1x": round(c1, 2), "cpu_5x": round(c5, 2),
