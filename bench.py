@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "doc_stats", "scrub_parity", "native_rules_docs", "rules_tabular",
     "token_topk", "cosine_topk", "knn_brute", "knn_blocked",
     "embedding_near_dup", "minhash_pairs", "simhash_pairs", "ngram_jaccard",
+    "pipeline_corpus_gate", "dedup_clusters",
 ]
 
 

@@ -253,11 +253,16 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(*id_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # materialize the tiny (ids, band, bucket) table once: the cap aggregate
-    # and BOTH self-join sides consume it, and without a checkpoint each
-    # consumer replays the signature lineage (a pandas UDF for callers that
-    # did not materialize sig_df themselves)
-    banded = banded.localCheckpoint(eager=True)
+    # The banded table has THREE consumers (cap aggregate + both self-join
+    # sides). If the signature lineage still contains the pandas UDF, each
+    # consumer would replay it — materialize once. If the caller already
+    # materialized sig_df (the documented pattern; _q_minhash_pairs does),
+    # banding is a cheap native explode+hash replay, and skipping the
+    # checkpoint saves one scheduled job per query (round-5: pair-query
+    # wall time is fixed-cost-dominated at small inputs).
+    sig_plan = sig_df._jdf.queryExecution().executedPlan().toString()
+    if "EvalPython" in sig_plan:
+        banded = banded.localCheckpoint(eager=True)
 
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, "lsh_candidate_pairs")
 
