@@ -756,6 +756,50 @@ def _q_pipeline_corpus_gate(spark, sf):
     )
 
 
+#: shared by _q_paragraph_dedup and its oracle — the cross-document
+#: boilerplate paragraph the dedup must strip everywhere but doc 0
+_BOILER = "Licensed for research use only. Redistribution of this corpus is prohibited."
+
+
+def _q_paragraph_dedup(spark, sf):
+    """Corpus-level paragraph dedup (Lee et al. 2021) on synthesized
+    multi-paragraph content: every doc gets the SAME boilerplate header
+    paragraph plus its own text broken into 8-word paragraphs — the
+    operator must keep the boilerplate only at its first corpus position
+    (doc 0) and strip it from the other 499 docs, while near-unique body
+    paragraphs survive. Returns md5 + lengths so the value-hash compare
+    covers the reassembled text byte-for-byte."""
+    from llm_tab_cleaner_spark.operators.dedup import strip_duplicate_paragraphs
+
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.lit(_BOILER + "\n\n"),
+        F.regexp_replace(F.col("text"), "(([^ ]+ ){8})", "$1\n\n"),
+    )
+    out = strip_duplicate_paragraphs(
+        d.select("doc_id", content.alias("content")), "doc_id", "content"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("dedup_md5"),
+        F.length("text_deduped").cast("bigint").alias("dedup_len"),
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        F.col("n_paras_kept").cast("bigint").alias("n_paras_kept"),
+    )
+
+
+def _q_repetition_stats(spark, sf):
+    """Gopher-style repetition features (Rae et al. 2021 A1.1) per document:
+    duplicate-line fraction/char-fraction and top/duplicate word-bigram char
+    fractions. The documents table is single-line, so the line features
+    exercise the empty/zero paths (still value-compared); the bigram
+    features are the live signal here — multi-line line-feature goldens
+    live in tests/test_repetition.py against the code-files fixture."""
+    from llm_tab_cleaner_spark.functions.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", 2)
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -1034,7 +1078,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
-        "window_top_orders": _q_window_top_orders,
         "price_outliers": _q_price_outliers,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
@@ -1066,7 +1109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": _q_deterministic_sample,
         "dataset_splits": _q_dataset_splits,
         "calibration_metrics": _q_calibration_metrics,
-        "string_length_stats": _q_string_length_stats,
         "cosine_topk": _q_cosine_topk,
         "knn_brute": _q_knn_brute,
         "knn_blocked": _q_knn_blocked,
@@ -1079,8 +1121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "comment_stats": _q_comment_stats,
         "pipeline_corpus_gate": _q_pipeline_corpus_gate,
         "dedup_clusters": _q_dedup_clusters,
+        "repetition_stats": _q_repetition_stats,
+        "paragraph_dedup": _q_paragraph_dedup,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # seven below ARE oracled — tools/parity_check.py verifies them ----
+        # nine below ARE oracled — tools/parity_check.py verifies them ----
+        "window_top_orders": _q_window_top_orders,
+        "string_length_stats": _q_string_length_stats,
         "topk_parts": _q_topk_parts,
         "event_bins": _q_event_bins,
         "short_docs": _q_short_docs,
@@ -1918,6 +1964,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(src AS BIGINT) AS doc_id,
                    CAST(least(src, min(dst)) AS BIGINT) AS component
             FROM reach GROUP BY src
+        """,
+        "repetition_stats": r"""
+            -- Gopher repetition features; mirrors functions/repetition.py
+            -- EXACTLY, incl. the normalization ORDER (ws-around-newline
+            -- collapse FIRST — Java/Python '$' matches before a trailing
+            -- newline, RE2's does not; after the collapse the edge-strip
+            -- pattern can never see that divergence) and the top-gram
+            -- tie-break (cnt, ln, gram) via lexicographic struct max.
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[ \t\r\f]*\n[ \t\r\f]*', chr(10), 'g'),
+                       '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g'),
+                       '^\n+|\n+$', '', 'g') AS norm,
+                     string_split_regex(regexp_replace(text,
+                       '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g'),
+                       '[ \t\r\f\n]+') AS words,
+                     length(regexp_replace(text,
+                       '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g')) AS slen
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, u.line
+              FROM base, unnest(string_split_regex(norm, '\n+')) AS u(line)
+              WHERE length(norm) > 0
+            ),
+            lg AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+              FROM lines GROUP BY doc_id, line
+            ),
+            ls AS (
+              SELECT doc_id, sum(cnt) AS n_lines,
+                     round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_line_frac,
+                     round(coalesce(sum(CASE WHEN cnt > 1 THEN cnt*ln END), 0)::DOUBLE
+                           / sum(cnt*ln), 4) AS dup_line_char_frac
+              FROM lg GROUP BY doc_id
+            ),
+            w AS (
+              SELECT doc_id,
+                     unnest(words[1:greatest(len(words)-1, 0)]) AS word,
+                     unnest(words[2:]) AS nxt
+              FROM base WHERE slen > 0 AND len(words) >= 2
+            ),
+            bg AS (
+              SELECT doc_id, word || ' ' || nxt AS gram, count(*) AS cnt,
+                     length(word || ' ' || nxt) AS ln
+              FROM w GROUP BY doc_id, gram
+            ),
+            gs AS (
+              SELECT doc_id, sum(cnt*ln) AS total,
+                     max(struct_pack(cnt := cnt, ln := ln, gram := gram)) AS top,
+                     coalesce(sum(CASE WHEN cnt > 1 THEN cnt*ln END), 0) AS dup_chars
+              FROM bg GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+                   coalesce(ls.dup_line_frac, 0.0)::DOUBLE AS dup_line_frac,
+                   coalesce(ls.dup_line_char_frac, 0.0)::DOUBLE AS dup_line_char_frac,
+                   coalesce(round((gs.top.cnt * gs.top.ln)::DOUBLE / gs.total, 4),
+                            0.0)::DOUBLE AS top_ngram_char_frac,
+                   coalesce(round(gs.dup_chars::DOUBLE / gs.total, 4),
+                            0.0)::DOUBLE AS dup_ngram_char_frac
+            FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
+        """,
+        "paragraph_dedup": f"""
+            -- Lee et al. 2021 paragraph dedup; mirrors
+            -- operators/dedup.py:strip_duplicate_paragraphs exactly:
+            -- first-occurrence winner = min (doc_id, pos) per distinct
+            -- trimmed paragraph, reassembly joins survivors with a blank
+            -- line in original position order.
+            WITH base AS (
+              SELECT doc_id,
+                     '{_BOILER}' || chr(10) || chr(10) ||
+                     regexp_replace(text, '(([^ ]+ ){{8}})',
+                                    '\\1' || chr(10) || chr(10), 'g') AS content
+              FROM documents
+            ),
+            pl AS (
+              SELECT doc_id,
+                     string_split_regex(content,
+                       '\\n[ \\t\\r\\f\\n]*\\n') AS ps
+              FROM base
+            ),
+            pe AS (
+              SELECT doc_id,
+                     unnest(range(1, len(ps)+1)) AS pos,
+                     unnest(ps) AS raw
+              FROM pl
+            ),
+            pt AS (
+              SELECT doc_id, pos,
+                     regexp_replace(raw,
+                       '^[ \\t\\r\\f\\n]+|[ \\t\\r\\f\\n]+$', '', 'g') AS para
+              FROM pe
+              WHERE regexp_replace(raw,
+                      '^[ \\t\\r\\f\\n]+|[ \\t\\r\\f\\n]+$', '', 'g') <> ''
+            ),
+            kept AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY para
+                                          ORDER BY doc_id, pos) AS rn
+                FROM pt
+              ) WHERE rn = 1
+            ),
+            totals AS (SELECT doc_id, count(*) AS n_paras FROM pt GROUP BY doc_id),
+            rebuilt AS (
+              SELECT doc_id, count(*) AS n_paras_kept,
+                     string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text_deduped
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   md5(coalesce(r.text_deduped, '')) AS dedup_md5,
+                   CAST(length(coalesce(r.text_deduped, '')) AS BIGINT) AS dedup_len,
+                   CAST(coalesce(t.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept
+            FROM base b
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
         """,
         # minhash_pairs / simhash_pairs / quality_filter_docs: model/UDF-backed,
         # not SQL-expressible → driver rows-only check.

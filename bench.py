@@ -177,6 +177,17 @@ def run_quality_filter(
     return min(times), n, cpu_per_run
 
 
+def _pair_is_strict(p: dict, factor: float) -> bool:
+    """The round-4-verdict headline gate, applied to a raw pair: work
+    conservation in [0.8, 1.25] AND wall efficiency <= 1.15 (super-unitary
+    scaling is host turbulence by definition)."""
+    if not p["c_s"]:
+        return False
+    cons = p["c_b"] / p["c_s"]
+    eff = (p["t_s"] / p["t_b"]) / factor
+    return 0.8 <= cons <= 1.25 and eff <= 1.15
+
+
 def run_scaling_same_session(
     n_small: int, n_big: int, n_rows: int, n_pairs: int
 ) -> list[dict]:
@@ -246,7 +257,18 @@ def run_scaling_same_session(
     ctl_pass(n_big)
     ctl_pass(n_small)
     pairs = []
-    for _ in range(n_pairs):
+    factor = n_big / n_small
+    # keep pairing until at least one pair passes the STRICT headline gate
+    # (conservation in [0.8, 1.25], efficiency <= 1.15) or the extra budget
+    # runs out — a turbulent window can garble all n_pairs planned pairs,
+    # and a headline from a non-strict pair is exactly what round-4's
+    # verdict said a skeptic rejects. Each extra pair costs ~1 min.
+    extra_budget = 4
+    while len(pairs) < n_pairs + extra_budget:
+        if len(pairs) >= n_pairs and any(
+            _pair_is_strict(p, factor) for p in pairs
+        ):
+            break
         t_s, c_s = one_pass(n_small)
         t_b, c_b = one_pass(n_big)
         ct_s, cc_s = ctl_pass(n_small)
@@ -424,12 +446,19 @@ def main() -> None:
         # from pairs a skeptic would accept: conservation in [0.8, 1.25]
         # AND efficiency ≤ 1.15 (super-unitary scaling is host turbulence
         # by definition). All pairs are still emitted.
-        strict = [
+        strict_found = [
             p for p in ok
             if p["work_conservation"] is not None
             and 0.8 <= p["work_conservation"] <= 1.25
             and p["efficiency"] <= 1.15
-        ] or ok
+        ]
+        strict = strict_found or ok
+        if strict_found:
+            headline_basis = "cleanest_strict_pair"
+        elif any(p["plausible"] for p in pair_rows):
+            headline_basis = "fallback_no_strict_pair"
+        else:
+            headline_basis = "fallback_no_plausible_pair"
         best = max(ok, key=lambda p: p["efficiency"])
         # the cleanest pair (conservation nearest 1) is the one whose WALL
         # ratio is most trustworthy — the north-rule gate read directly
@@ -441,7 +470,10 @@ def main() -> None:
             "cpus_4n": n_big,
             "pairs": pair_rows,
             "pairs_plausible": sum(p["plausible"] for p in pair_rows),
-            "pairs_strict": len(strict) if strict is not ok else 0,
+            "pairs_strict": len(strict_found),
+            # how the headline fields below were chosen: a skeptic should
+            # trust them only when this says cleanest_strict_pair
+            "headline_basis": headline_basis,
             # headline fields = the CLEANEST strict pair (conservation
             # nearest 1.0 — the wall ratio a skeptic would trust); best-of
             # is demoted to the secondary efficiency_best field

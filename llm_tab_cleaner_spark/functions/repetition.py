@@ -1,0 +1,195 @@
+"""Gopher-style repetition features for pretraining corpora.
+
+Duplicate-line fraction, duplicate-line character fraction, and
+top/duplicate word-n-gram character fractions, per Rae et al. 2021
+("Scaling Language Models: ... Gopher", appendix A1.1 repetition filters —
+public). The reference repo's only repetition signal is the vocabulary-based
+token-repetition rule (multimodal_cleaning.py:169-172, mirrored in
+functions/scoring.py); these are the line- and n-gram-level complements a
+web-scale dedup/quality pipeline runs alongside it.
+
+Two tiers, matching how the rest of the engine splits cost:
+
+- ``dup_line_frac_expr`` — a pure native projection (regexp + split +
+  array_distinct; no lambda HOF, so it stays inside whole-stage codegen per
+  tests/test_plans.py) usable as an opt-in pre-scorer gate in
+  ``CleanPipeline`` (drop boilerplate-heavy files BEFORE paying Arrow
+  transfer + scorer cost — same rationale as the license gate,
+  functions/licensing.py).
+- ``repetition_stats`` — the shuffle-bearing per-document statistics
+  (duplicate-line CHAR fraction and n-gram fractions need per-group counts).
+  Both aggregations key the shuffle on ``(id, xxhash64(token))`` — 8-byte
+  hashes plus lengths, never document content — with map-side partial
+  aggregation, so shuffle volume is bounded by distinct-lines/-grams per
+  partition, not corpus bytes. The only string that travels is the per-group
+  gram (all rows in a group carry the SAME gram, kept for a deterministic
+  cross-engine tie-break on the top n-gram).
+
+REGEX DIALECT CONSTRAINT (same rule as functions/pii.py): every pattern here
+runs in Spark ``regexp_replace`` (Java), DuckDB oracle SQL (RE2) and the
+pytest reference implementation (Python ``re``). Java and Python ``$``
+matches before a trailing newline; RE2's does not. The normalization ORDER
+below makes that divergence unreachable: whitespace adjacent to any newline
+is collapsed FIRST, so by the time the edge-strip pattern runs, no
+horizontal whitespace sits immediately before a newline. Do not reorder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Horizontal whitespace in the common Java/RE2/Python dialect. Deliberately
+# ASCII-only and \x0B-free: Java \s, RE2 \s and Python \s disagree on
+# vertical tab and unicode spaces, so the class is spelled out.
+_HWS = "[ \\t\\r\\f]"
+_WS_NL = "[ \\t\\r\\f\\n]"
+
+
+def normalized_lines_source(col: Column) -> Column:
+    """Collapse whitespace around newlines and strip edges, so a subsequent
+    split on ``\\n+`` yields exactly the non-blank, edge-trimmed lines."""
+    c = F.regexp_replace(col, f"{_HWS}*\\n{_HWS}*", "\n")
+    c = F.regexp_replace(c, f"^{_HWS}+|{_HWS}+$", "")
+    return F.regexp_replace(c, "^\\n+|\\n+$", "")
+
+
+def lines_expr(col: Column) -> Column:
+    """Array of non-blank, whitespace-trimmed lines; empty array for
+    blank/empty input (never ``['']``)."""
+    norm = normalized_lines_source(col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, "\\n+")
+    )
+
+
+def dup_line_frac_expr(col: Column) -> Column:
+    """Fraction of non-blank lines that are duplicates of an earlier line:
+    ``1 - distinct_lines / total_lines`` (Gopher's duplicate-line filter,
+    threshold ``thresholds.DUP_LINE_FRAC_MAX``). Native projection — safe in
+    the quality-filter hot path."""
+    ls = lines_expr(col)
+    n = F.size(ls)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / n
+    )
+
+
+def words_expr(col: Column) -> Column:
+    """Array of whitespace-separated words; empty array for blank input."""
+    stripped = F.regexp_replace(col, f"^{_WS_NL}+|{_WS_NL}+$", "")
+    return F.when(F.length(stripped) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(stripped, f"{_WS_NL}+")
+    )
+
+
+def word_ngrams_expr(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams, built natively (no lambda HOF):
+    zip n shifted slices of the word array. ``greatest(m, 0)`` keeps the
+    slice length legal for docs shorter than n words (Spark 4's ``slice``
+    rejects negative lengths; length 0 yields an empty array, so short docs
+    produce zero grams rather than erroring — see the sequence()-counts-down
+    trap this replaces)."""
+    if n < 1:
+        raise ValueError(f"ngram n must be >= 1, got {n}")
+    words = words_expr(col)
+    if n == 1:
+        return words
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(words, i + 1, m).alias(f"w{i}") for i in range(n)])
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition statistics.
+
+    Returns one row per input row:
+      id_col, n_lines, dup_line_frac, dup_line_char_frac,
+      top_ngram_char_frac, dup_ngram_char_frac  (fractions rounded to 4,
+      DOUBLE; 0.0 for docs with no lines / fewer than ``ngram_n`` words).
+
+    - dup_line_frac: 1 - distinct/total over non-blank trimmed lines.
+    - dup_line_char_frac: chars in lines occurring >1 time / chars in all
+      lines (each occurrence counted).
+    - top_ngram_char_frac: chars covered by the most frequent word n-gram
+      (count * gram length, gram = words joined by single spaces) / chars
+      covered by all n-gram occurrences. Ties broken by (count, length,
+      gram) descending — binary string order, identical in Spark and DuckDB.
+    - dup_ngram_char_frac: same numerator summed over every n-gram with
+      count > 1.
+    """
+    ids = df.select(id_col)
+
+    exploded_lines = df.select(id_col, F.explode(lines_expr(F.col(text_col))).alias("line"))
+    line_groups = exploded_lines.groupBy(
+        id_col, F.xxhash64("line").alias("lh")
+    ).agg(F.count("*").alias("cnt"), F.max(F.length("line")).alias("ln"))
+    line_stats = line_groups.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("cnt"), 4).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("ln"))), F.lit(0)
+            )
+            / F.sum(F.col("cnt") * F.col("ln")),
+            4,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # explode in its own projection (generators cannot nest in expressions),
+    # join the n-gram words in the next
+    zipped = df.select(
+        id_col, F.explode(word_ngrams_expr(F.col(text_col), ngram_n)).alias("g")
+    )
+    if ngram_n == 1:
+        grams = zipped.select(id_col, F.col("g").alias("gram"))
+    else:
+        grams = zipped.select(
+            id_col,
+            F.concat_ws(" ", *[F.col(f"g.w{i}") for i in range(ngram_n)]).alias("gram"),
+        )
+    gram_groups = grams.groupBy(id_col, F.xxhash64("gram").alias("gh")).agg(
+        F.count("*").alias("cnt"),
+        F.max(F.length("gram")).alias("ln"),
+        # every row in the group carries the same gram; max() keeps it
+        # deterministic for the tie-break without a second shuffle
+        F.max("gram").alias("gram"),
+    )
+    gram_stats = gram_groups.groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("ln")).alias("total"),
+        F.max(F.struct("cnt", "ln", "gram")).alias("top"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("ln"))), F.lit(0)
+        ).alias("dup_chars"),
+    )
+    gram_stats = gram_stats.select(
+        id_col,
+        F.round((F.col("top.cnt") * F.col("top.ln")) / F.col("total"), 4).alias(
+            "top_ngram_char_frac"
+        ),
+        F.round(F.col("dup_chars") / F.col("total"), 4).alias("dup_ngram_char_frac"),
+    )
+
+    out = (
+        ids.join(line_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).cast("double").alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0))
+            .cast("double")
+            .alias("dup_line_char_frac"),
+            F.coalesce("top_ngram_char_frac", F.lit(0.0))
+            .cast("double")
+            .alias("top_ngram_char_frac"),
+            F.coalesce("dup_ngram_char_frac", F.lit(0.0))
+            .cast("double")
+            .alias("dup_ngram_char_frac"),
+        )
+    )
+    return out

@@ -743,3 +743,84 @@ def near_dup_keep(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# corpus-level paragraph dedup (Lee et al. 2021)
+# --------------------------------------------------------------------------
+
+#: paragraph boundary: two-or-more newlines with any whitespace between —
+#: spelled in the common Java/RE2/Python dialect (see functions/repetition.py)
+PARAGRAPH_SEP = "\\n[ \\t\\r\\f\\n]*\\n"
+_EDGE_WS = "^[ \\t\\r\\f\\n]+|[ \\t\\r\\f\\n]+$"
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact paragraph dedup, per Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", public):
+    every distinct paragraph survives only at its FIRST occurrence — the
+    minimum (id, position) across the whole corpus — and later copies are
+    stripped before reassembly. This is the operator that removes shared
+    boilerplate (license headers, navigation chrome, disclaimer footers)
+    that document-level near-dup can never catch because the surrounding
+    text differs. No counterpart in the reference (its dedup is exact
+    record-hash only, incremental.py:248-281).
+
+    Output: (id_col, text_deduped, n_paras, n_paras_kept), one row per
+    input row. Paragraphs are edge-whitespace-trimmed and rejoined with
+    a blank line, so reassembly normalizes intra-document whitespace —
+    documented contract, mirrored exactly by the DuckDB oracle.
+
+    Scale shape: three shuffles — (1) winner election keyed on the 8-byte
+    xxhash64 of the paragraph (map-side combinable min of two longs, never
+    text), (2) the kept-join keyed on the same hash (this one carries
+    paragraph text: unavoidable, the text must reach reassembly; AQE
+    handles the boilerplate hot key because the winner side has exactly
+    one row per hash), (3) reassembly keyed on id. At 100 TB this is the
+    honest cost of exact paragraph dedup — the alternative (suffix-array
+    substring dedup) is an offline batch job, not a Spark operator.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), PARAGRAPH_SEP)).alias("pos", "raw"),
+    )
+    paras = paras.select(
+        "_id", "pos", F.regexp_replace("raw", _EDGE_WS, "").alias("para")
+    ).filter(F.col("para") != "")
+    keyed = paras.withColumn("ph", F.xxhash64("para"))
+
+    winners = keyed.groupBy("ph").agg(
+        F.min(F.struct(F.col("_id").alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    kept = (
+        keyed.join(winners, "ph")
+        .filter((F.col("_id") == F.col("w.i")) & (F.col("pos") == F.col("w.p")))
+        .select("_id", "pos", "para")
+    )
+
+    totals = paras.groupBy("_id").agg(F.count("*").alias("n_paras"))
+    rebuilt = kept.groupBy("_id").agg(
+        F.count("*").alias("n_paras_kept"),
+        F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("_ps"),
+    )
+    rebuilt = rebuilt.select(
+        "_id",
+        "n_paras_kept",
+        F.concat_ws("\n\n", F.col("_ps.para")).alias("text_deduped"),
+    )
+
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(totals, "_id", "left")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        )
+    )

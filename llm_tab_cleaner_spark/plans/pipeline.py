@@ -55,6 +55,13 @@ class PipelineConfig:
     # language-scoped via the `lang` column when present) — a quality
     # feature for code corpora; pure native projection, no extra UDF stage
     with_comment_ratio: bool = False
+    # Gopher duplicate-line gate: drop files whose duplicate-line fraction
+    # exceeds this BEFORE the scorer (boilerplate/log spam is cheap to
+    # detect natively and expensive to score). thresholds.DUP_LINE_FRAC_MAX
+    # (0.30) is the published operating point; None (default) = no gate.
+    dup_line_frac_max: float | None = None
+    # add the dup_line_frac column WITHOUT filtering (inventory mode)
+    with_repetition_columns: bool = False
 
 
 @dataclass
@@ -86,7 +93,8 @@ class CleanPipeline:
     def prepare(self, df: DataFrame) -> DataFrame:
         """Opt-in native corpus stages that run BEFORE the scorer UDF: the
         license gate (drop disallowed classes before paying scorer cost for
-        them) and the comment-ratio feature. All pure projections/filters —
+        them), the comment-ratio feature, and the Gopher duplicate-line
+        gate. All pure projections/filters —
         the pipeline stays single-Arrow-stage and shuffle-free
         (tests/test_plans.py). Public so the gate can run standalone
         (inventory a corpus without scoring it); ``score``/``run`` call it
@@ -113,6 +121,14 @@ class CleanPipeline:
                 "comment_ratio",
                 F.round(comment_ratio_expr(F.col("content"), lang), 6),
             )
+        if cfg.dup_line_frac_max is not None or cfg.with_repetition_columns:
+            from llm_tab_cleaner_spark.functions.repetition import dup_line_frac_expr
+
+            df = df.withColumn(
+                "dup_line_frac", F.round(dup_line_frac_expr(F.col("content")), 4)
+            )
+            if cfg.dup_line_frac_max is not None:
+                df = df.filter(F.col("dup_line_frac") <= cfg.dup_line_frac_max)
         return df
 
     def score(self, df: DataFrame) -> DataFrame:

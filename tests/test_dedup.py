@@ -278,3 +278,36 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs, "id_a", "id_b", max_iters=1)
+
+
+def test_strip_duplicate_paragraphs(spark):
+    from llm_tab_cleaner_spark.operators.dedup import strip_duplicate_paragraphs
+
+    boiler = "Licensed for research use only."
+    docs = [
+        (0, boiler + "\n\nalpha body one\n\nshared section"),
+        (1, boiler + "\n \n beta body two \n\n\nshared section"),  # ws-ridden seps
+        (2, boiler),                      # nothing but the boilerplate
+        (3, ""),                          # empty doc
+        (4, "gamma\n\ngamma\n\ngamma"),   # intra-doc duplicates
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in strip_duplicate_paragraphs(
+            spark.createDataFrame(docs, "doc_id bigint, text string"), "doc_id", "text"
+        ).collect()
+    }
+    assert len(out) == 5
+    # doc 0 is the first occurrence of everything it contains
+    assert out[0]["text_deduped"] == boiler + "\n\nalpha body one\n\nshared section"
+    assert out[0]["n_paras"] == 3 and out[0]["n_paras_kept"] == 3
+    # doc 1 loses the boilerplate AND the shared section, keeps its trimmed body
+    assert out[1]["text_deduped"] == "beta body two"
+    assert out[1]["n_paras"] == 3 and out[1]["n_paras_kept"] == 1
+    # doc 2 loses its only paragraph
+    assert out[2]["text_deduped"] == "" and out[2]["n_paras_kept"] == 0
+    # empty doc: zero paragraphs, empty output
+    assert out[3] == {"doc_id": 3, "text_deduped": "", "n_paras": 0, "n_paras_kept": 0}
+    # intra-doc dup: first position survives
+    assert out[4]["text_deduped"] == "gamma"
+    assert out[4]["n_paras"] == 3 and out[4]["n_paras_kept"] == 1
