@@ -169,8 +169,11 @@ def fuzzy_match_df(
 @dataclass
 class CleaningPattern:
     """Learned pattern (reference CleaningPattern, adaptive.py:23-31).
-    ``last_used``/``metadata`` are dropped: recency is nondeterministic and
-    the column/rule provenance are first-class fields here."""
+    ``metadata`` is dropped (column/rule provenance are first-class fields
+    here); the reference's wall-clock ``last_used`` becomes
+    ``last_used_batch`` — a LOGICAL batch counter (PatternLearner.advance_
+    batch), so recency-weighted eviction is reproducible run-to-run where
+    ``time.time()`` is not. Within one batch all patterns age equally."""
 
     input_pattern: str
     output_pattern: str
@@ -178,6 +181,7 @@ class CleaningPattern:
     frequency: int
     column: str | None = None
     rule: str | None = None
+    last_used_batch: int = 0
 
 
 def learned_patterns_df(
@@ -293,6 +297,38 @@ class PatternLearner:
         self.min_confidence = min_confidence
         # key (column, input, output) → CleaningPattern
         self._patterns: dict[tuple[str | None, str, str], CleaningPattern] = {}
+        # logical clock for recency: the deterministic stand-in for the
+        # reference's time.time() (adaptive.py:199/215/298) — callers mark
+        # epoch boundaries with advance_batch(); learn_from_audit advances
+        # automatically per audit batch
+        self._batch = 0
+
+    def advance_batch(self) -> int:
+        """Advance the logical recency clock one batch and return it."""
+        self._batch += 1
+        return self._batch
+
+    def _evict_old_patterns(self) -> None:
+        """Deterministic mirror of the reference's recency eviction
+        (adaptive.py:291-314): score = frequency * confidence /
+        (1 + age), with age measured in LOGICAL BATCHES instead of
+        wall-clock hours; keep the top 80% of max_patterns, ties broken by
+        (column, input, output) so runs reproduce byte-for-byte."""
+        keep = int(self.max_patterns * 0.8)
+        ranked = sorted(
+            self._patterns.items(),
+            key=lambda kv: (
+                -(
+                    kv[1].frequency
+                    * kv[1].confidence
+                    / (1 + (self._batch - kv[1].last_used_batch))
+                ),
+                kv[0][0] or "",
+                kv[0][1],
+                kv[0][2],
+            ),
+        )
+        self._patterns = dict(ranked[:keep])
 
     # ---- reference-shaped per-fix surface ----
     def learn_from_fix(self, fix, context: dict | None = None) -> None:
@@ -307,7 +343,12 @@ class PatternLearner:
         if existing is not None:
             existing.frequency += 1
             existing.confidence = max(existing.confidence, conf)
-        elif len(self._patterns) < self.max_patterns:
+            existing.last_used_batch = self._batch
+        else:
+            if len(self._patterns) >= self.max_patterns:
+                # reference adaptive.py:217-219: evict (recency-scored) to
+                # make room instead of silently refusing to learn
+                self._evict_old_patterns()
             self._patterns[key] = CleaningPattern(
                 input_pattern=str(fix.original),
                 output_pattern=str(fix.cleaned),
@@ -315,6 +356,7 @@ class PatternLearner:
                 frequency=1,
                 column=fix.column,
                 rule=getattr(fix, "rule_applied", None) or getattr(fix, "rule_fired", None),
+                last_used_batch=self._batch,
             )
 
     def suggest_fix(self, value, column: str | None = None, context: dict | None = None):
@@ -332,7 +374,21 @@ class PatternLearner:
             if inp == vs and (column is None or col is None or col == column)
         ]
         if matches:
-            best = max(matches, key=lambda p: (p.frequency, p.confidence, p.output_pattern))
+            # recency enters as a tie-break AFTER (frequency, confidence) —
+            # the reference multiplies a 1/(now - last_used) factor in
+            # (adaptive.py:242); with a logical clock the same preference
+            # order is "most recently used wins among equals",
+            # deterministically
+            best = max(
+                matches,
+                key=lambda p: (
+                    p.frequency,
+                    p.confidence,
+                    p.last_used_batch,
+                    p.output_pattern,
+                ),
+            )
+            best.last_used_batch = self._batch  # reference adaptive.py:244
             return best.output_pattern, best.confidence
         return self._fuzzy_suggest(vs, column)
 
@@ -367,7 +423,10 @@ class PatternLearner:
     # ---- distributed surface ----
     def learn_from_audit(self, audit_df: DataFrame, min_support: int = 1) -> int:
         """Merge patterns learned from an audit table (one aggregation);
-        returns how many patterns are now held."""
+        returns how many patterns are now held. Each call is one logical
+        recency batch: everything merged here is stamped with the new batch,
+        so patterns from older audits age out first under eviction."""
+        self.advance_batch()
         for p in learn_patterns(
             audit_df,
             min_support=min_support,
@@ -379,7 +438,11 @@ class PatternLearner:
             if existing is not None:
                 existing.frequency += p.frequency
                 existing.confidence = max(existing.confidence, p.confidence)
-            elif len(self._patterns) < self.max_patterns:
+                existing.last_used_batch = self._batch
+            else:
+                if len(self._patterns) >= self.max_patterns:
+                    self._evict_old_patterns()
+                p.last_used_batch = self._batch
                 self._patterns[key] = p
         return len(self._patterns)
 

@@ -401,28 +401,63 @@ def simhash_signatures(
 
 
 def simhash_near_dup_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3, max_bucket_size: int = 1000
+    sim_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    blocks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4×16-bit chunks
-    (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk), self-join per chunk,
-    verify hamming natively with bit_count(xor).
+    """Near-dup pairs by SimHash, Manku et al. 2007 block-permutation
+    banding (WWW'07 "Detecting Near-Duplicates for Web Crawling", public):
+    split the 64 bits into ``blocks`` blocks and build one candidate table
+    per combination of ``blocks - max_hamming`` blocks, keyed on those
+    blocks' concatenated bits. Pigeonhole: ≤ max_hamming flipped bits touch
+    ≤ max_hamming blocks, so some combination is untouched and every true
+    pair collides in ≥ 1 table. Candidates are verified natively with
+    bit_count(xor), so the FINAL pair set is identical for every legal
+    ``blocks`` value — the knob trades explode factor against random
+    collisions:
+
+      blocks=4, d=3 → C(4,1)=4 tables, 16-bit keys (the classic cheap
+        scheme; candidate set grows ~4·N²/2¹⁶, super-linear past ~10⁵-10⁶
+        docs — measured in tools/datascale_bench.py)
+      blocks=6, d=3 → C(6,3)=20 tables, ~32-bit keys — 5× the banding rows
+        but ~2¹⁶× fewer random collisions per table: the full-corpus
+        operating point.
 
     Skew guards (round-2 VERDICT #3): the all-zero signature (no tokens —
     empty/whitespace-only docs, which _batch_simhash maps to 0) is excluded
     from banding (exact-dup material, route through exact_dedup), and any
     (chunk, key) bucket larger than ``max_bucket_size`` is dropped before
     the self-join — identical-signature clusters that big are exact-dup
-    class, and their buckets are quadratic reducers at corpus scale.
+    class, and their buckets are quadratic reducers at corpus scale."""
+    from itertools import combinations
 
-    SCALE CHARACTERISTIC (measured, tools/datascale_bench.py): the candidate
-    set grows as ~4·N²/2¹⁶ — 16-bit chunk keys give only 65k buckets per
-    chunk, so RANDOM collisions (not skew) dominate once N passes ~10⁵-10⁶
-    docs per corpus, and the 1×→5× CPU ratio runs super-linear while
-    minhash-LSH and n-gram Jaccard stay ~linear. SimHash banding is the
-    right tool up to moderate corpus sizes or per-partition (e.g. per-repo)
-    dedup; at full-corpus scale prefer lsh_candidate_pairs (band keys are
-    32-bit hashes of 4-slot signature slices — 2³² buckets) or widen the
-    chunk key (Manku-style multi-block probing) before the self-join."""
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) for "
+            "the pigeonhole guarantee"
+        )
+    if blocks > 64:
+        raise ValueError(f"blocks must be <= 64, got {blocks}")
+    widths = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    offsets = [sum(widths[:i]) for i in range(blocks)]
+    combos = list(combinations(range(blocks), blocks - max_hamming))
+
+    def _table_key(combo: tuple[int, ...]):
+        # concatenate the selected blocks' bits into one long key
+        acc, shift = None, 0
+        for b in combo:
+            bv = F.shiftrightunsigned(F.col("simhash"), offsets[b]).bitwiseAND(
+                F.lit((1 << widths[b]) - 1)
+            )
+            acc = bv if acc is None else acc.bitwiseOR(F.shiftleft(bv, shift))
+            shift += widths[b]
+        if shift > 63:
+            # key would not fit a signed long losslessly: fold it
+            acc = F.xxhash64(acc)
+        return acc
+
     sim_df = sim_df.filter(F.col("simhash") != 0)
     chunks = sim_df.select(
         id_col,
@@ -431,12 +466,9 @@ def simhash_near_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
+                        F.lit(t).alias("chunk"), _table_key(c).alias("key")
                     )
-                    for i in range(4)
+                    for t, c in enumerate(combos)
                 ]
             )
         ).alias("cc"),

@@ -256,3 +256,46 @@ def test_fuzzy_empty_value_matches_driver(spark):
         "value", column_col="column",
     ).toPandas()
     assert len(out) == 0  # driver _fuzzy_suggest('') returns None too
+
+
+class _Fix:
+    def __init__(self, column, original, cleaned, confidence=0.9):
+        self.column, self.original, self.cleaned = column, original, cleaned
+        self.confidence = confidence
+        self.rule_applied = "t"
+
+
+def test_recency_eviction_deterministic():
+    """Deterministic mirror of the reference's recency eviction
+    (adaptive.py:291-314): at capacity, score = freq*conf/(1+age_batches)
+    keeps recently-used patterns and evicts stale ones; two identical runs
+    produce identical survivor sets (the wall-clock version cannot)."""
+    from llm_tab_cleaner_spark.operators.adaptive import PatternLearner as PL
+
+    def run():
+        lr = PL(max_patterns=10)
+        for i in range(10):  # batch 0: fill to capacity
+            lr.learn_from_fix(_Fix("c", f"old{i}", f"x{i}"))
+        lr.advance_batch()
+        # refresh two old patterns in the new batch (suggest stamps last use)
+        assert lr.suggest_fix("old3", "c") == ("x3", 0.9)
+        assert lr.suggest_fix("old7", "c") == ("x7", 0.9)
+        lr.advance_batch()
+        lr.learn_from_fix(_Fix("c", "new", "y"))  # triggers eviction to 8
+        return sorted(inp for (_c, inp, _o) in lr._patterns)
+
+    first = run()
+    assert first == run()  # reproducible
+    assert "new" in first and "old3" in first and "old7" in first
+    assert len(first) == 9  # evicted to 80% of 10, then inserted one
+
+
+def test_recency_tiebreak_prefers_recent():
+    from llm_tab_cleaner_spark.operators.adaptive import PatternLearner as PL
+
+    lr = PL()
+    lr.learn_from_fix(_Fix("c", "v", "a"))
+    lr.advance_batch()
+    lr.learn_from_fix(_Fix("c", "v", "b"))
+    # same frequency+confidence for v->a and v->b; v->b is more recent
+    assert lr.suggest_fix("v", "c") == ("b", 0.9)

@@ -311,3 +311,31 @@ def test_strip_duplicate_paragraphs(spark):
     # intra-doc dup: first position survives
     assert out[4]["text_deduped"] == "gamma"
     assert out[4]["n_paras"] == 3 and out[4]["n_paras_kept"] == 1
+
+
+def test_simhash_block_permutation_equivalence(spark):
+    """Manku block-permutation banding: the FINAL verified pair set must be
+    IDENTICAL for every legal `blocks` value (verification filters by true
+    hamming; banding only controls candidate generation, and the pigeonhole
+    guarantee means no true pair is missed at any width). blocks=6/d=3 is
+    the full-corpus operating point (20 tables, ~32-bit keys)."""
+    from llm_tab_cleaner_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [(i, base + f"suffix{i % 7}") for i in range(60)]
+    rows += [(100 + i, f"unique doc {i} with words " + "filler " * (i + 3)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sims = dedup.simhash_signatures(df, ["doc_id"], "text").localCheckpoint(eager=True)
+
+    def pairset(blocks):
+        p = dedup.simhash_near_dup_pairs(
+            sims, "doc_id", max_hamming=3, blocks=blocks
+        ).toPandas()
+        return set(map(tuple, p[["doc_id_a", "doc_id_b", "hamming"]].values))
+
+    p4, p5, p6 = pairset(4), pairset(5), pairset(6)
+    assert p4, "fixture produced no near-dup pairs — weaken the suffixes"
+    assert p4 == p5 == p6
+
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=4, blocks=4)
