@@ -788,6 +788,23 @@ def _q_paragraph_dedup(spark, sf):
     )
 
 
+def _q_decontaminate(spark, sf):
+    """GPT-3-style benchmark decontamination over the documents corpus:
+    eval set = every 50th doc, n=5 token-grams (the word-bag docs are
+    30-90 tokens, so 13-grams would under-exercise the join). Eval members
+    flag themselves (self-contamination — exactly what you'd drop from a
+    train split); cross-doc matches require a genuinely shared 5-token run."""
+    from llm_tab_cleaner_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, "doc_id", "text", bench, n=5).select(
+        "doc_id",
+        F.col("n_matching_grams").cast("bigint").alias("n_matching_grams"),
+        "contaminated",
+    )
+
+
 def _q_repetition_stats(spark, sf):
     """Gopher-style repetition features (Rae et al. 2021 A1.1) per document:
     duplicate-line fraction/char-fraction and top/duplicate word-bigram char
@@ -999,9 +1016,17 @@ def _q_minhash_pairs(spark, sf):
 
 
 def _q_simhash_pairs(spark, sf):
+    """Rows-only (signature UDF). Round-5 NOTE: the pre-round-5 4×16
+    banding at max_hamming=8 had only best-effort recall (pigeonhole covers
+    d<=3) — pairs at hamming 4-8 were found only when they shared a 16-bit
+    chunk by luck. Manku blocks=10 (C(10,2)=45 tables, ~13-bit keys) now
+    guarantees recall at d=8, so this query's row count can legitimately
+    GROW vs rounds 1-4 artifacts."""
     d = _t(spark, sf, "documents")
     sims = dedup.simhash_signatures(d, ["doc_id"], "text")
-    return dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=8).select(
+    return dedup.simhash_near_dup_pairs(
+        sims, "doc_id", max_hamming=8, blocks=10
+    ).select(
         "doc_id_a", "doc_id_b", F.col("hamming").cast("bigint").alias("hamming")
     )
 
@@ -1078,7 +1103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
-        "price_outliers": _q_price_outliers,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
@@ -1123,8 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "repetition_stats": _q_repetition_stats,
         "paragraph_dedup": _q_paragraph_dedup,
+        "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # nine below ARE oracled — tools/parity_check.py verifies them ----
+        # ten below ARE oracled — tools/parity_check.py verifies them ----
+        "price_outliers": _q_price_outliers,
         "window_top_orders": _q_window_top_orders,
         "string_length_stats": _q_string_length_stats,
         "topk_parts": _q_topk_parts,
@@ -2083,6 +2109,28 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN totals t USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "decontaminate": f"""
+            -- GPT-3-style eval-overlap; grams mirror the token-5-gram
+            -- construction of operators/dedup.py:token_ngram_hashes (the
+            -- Spark side joins on 64-bit gram hashes, the oracle on gram
+            -- text — identical counts barring 2^-64 collisions)
+            WITH g AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len({_TOKS}) - 4, 0)),
+                       i -> array_to_string(list_slice({_TOKS}, i, i + 4), ' '))) AS grams
+              FROM documents
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            bench AS (SELECT DISTINCT gram FROM e WHERE doc_id % 50 = 0),
+            m AS (
+              SELECT e.doc_id, count(*) AS n_matching
+              FROM e JOIN bench USING (gram) GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(m.n_matching, 0) AS BIGINT) AS n_matching_grams,
+                   coalesce(m.n_matching, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN m USING (doc_id)
         """,
         # minhash_pairs / simhash_pairs / quality_filter_docs: model/UDF-backed,
         # not SQL-expressible → driver rows-only check.

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "token_topk", "cosine_topk", "knn_brute", "knn_blocked",
     "embedding_near_dup", "minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "pipeline_corpus_gate", "dedup_clusters",
+    "repetition_stats", "paragraph_dedup", "decontaminate",
 ]
 
 

@@ -405,7 +405,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash, Manku et al. 2007 block-permutation
     banding (WWW'07 "Detecting Near-Duplicates for Web Crawling", public):
@@ -433,6 +433,12 @@ def simhash_near_dup_pairs(
     class, and their buckets are quadratic reducers at corpus scale."""
     from itertools import combinations
 
+    if blocks is None:
+        # classic 4×16 for d <= 3; d+1 single-block tables above that —
+        # the PRE-round-5 code banded 4×16 for ANY max_hamming, silently
+        # missing pairs with 3 < hamming <= max_hamming that didn't share
+        # a chunk by luck; the default now always upholds the guarantee
+        blocks = max(4, max_hamming + 1)
     if blocks <= max_hamming:
         raise ValueError(
             f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) for "
@@ -854,5 +860,65 @@ def strip_duplicate_paragraphs(
             F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
             F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
             F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+        )
+    )
+
+
+def decontaminate(
+    docs_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_df: DataFrame,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_matching_grams: int = 1,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination, GPT-3 style (Brown et al. 2020, appendix
+    B-style n-gram overlap — public): flag every training document sharing
+    at least ``min_matching_grams`` distinct token-``n``-grams with any
+    document of an evaluation set. The canonical pre-training hygiene pass
+    that near-dup cannot replace (a doc QUOTING one eval question is far
+    below any document-similarity threshold). No counterpart in the
+    reference.
+
+    Returns (id_col, n_matching_grams, contaminated) — one row per input
+    doc; ``n_matching_grams`` counts DISTINCT doc grams found in the eval
+    gram set. Docs shorter than ``n`` tokens produce no grams and are never
+    flagged (GPT-3 handled short eval docs by lowering n — pass a smaller
+    ``n`` for that regime).
+
+    Scale shape: eval sets are small (10^3-10^5 docs), so their distinct
+    gram-hash set broadcasts (``broadcast_bench=True``, the default) — the
+    training side then never shuffles its grams: map-side broadcast join +
+    partially-aggregated per-doc counts, i.e. shuffle volume = matched doc
+    ids only, regardless of corpus size. With ``broadcast_bench=False``
+    the join shuffles (id, 8-byte gram hash) pairs — for the rare giant
+    eval suite."""
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        token_ngram_hashes(bench_df, [], bench_text_col, n)
+        .select(F.explode("gram_hashes").alias("gh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    doc_grams = token_ngram_hashes(docs_df, [id_col], text_col, n).select(
+        id_col, F.explode("gram_hashes").alias("gh")
+    )
+    matches = (
+        doc_grams.join(bench_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matching_grams"))
+    )
+    return (
+        docs_df.select(id_col)
+        .join(matches, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matching_grams", F.lit(0)).alias("n_matching_grams"),
+            (F.coalesce("n_matching_grams", F.lit(0)) >= min_matching_grams).alias(
+                "contaminated"
+            ),
         )
     )

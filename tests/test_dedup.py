@@ -339,3 +339,39 @@ def test_simhash_block_permutation_equivalence(spark):
 
     with pytest.raises(ValueError):
         dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=4, blocks=4)
+
+
+def test_decontaminate(spark):
+    from llm_tab_cleaner_spark.operators.dedup import decontaminate
+
+    eval_q = "what is the capital of france paris obviously"
+    docs = [
+        (0, "some training text with no overlap at all here"),
+        (1, "prefix text then what is the capital of france paris obviously and more"),
+        (2, "short doc"),                        # < n tokens → never flagged
+        (3, "what is the capital of spain madrid obviously"),  # shares exactly
+        # ONE 5-gram with the eval doc ("what is the capital of")
+    ]
+    bench = spark.createDataFrame([(100, eval_q)], "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            "doc_id", "text", bench, n=5,
+        ).collect()
+    }
+    assert len(out) == 4
+    assert not out[0]["contaminated"] and out[0]["n_matching_grams"] == 0
+    # doc 1 embeds the full 8-token eval doc → all 4 of its 5-grams match
+    assert out[1]["contaminated"] and out[1]["n_matching_grams"] == 4
+    assert not out[2]["contaminated"]
+    assert out[3]["contaminated"] and out[3]["n_matching_grams"] == 1
+    # min_matching_grams raises the bar above both matches
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            spark.createDataFrame(docs, "doc_id bigint, text string"),
+            "doc_id", "text", bench, n=5, min_matching_grams=5,
+        ).collect()
+    }
+    assert not strict[1] and not strict[3]

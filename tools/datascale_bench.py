@@ -86,18 +86,43 @@ def main() -> None:
 
     def q_simhash(df):
         sims = dedup.simhash_signatures(df, ["doc_id"], "text")
-        dedup.simhash_near_dup_pairs(sims, "doc_id", max_hamming=8).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        # blocks=10 = the documented full-corpus operating point for d=8
+        # (C(10,2)=45 tables of ~13-bit keys); the round-4 measurement that
+        # showed ~N²/2¹⁶ super-linear growth ran the old fixed 4×16 scheme
+        dedup.simhash_near_dup_pairs(
+            sims, "doc_id", max_hamming=8, blocks=10
+        ).write.format("noop").mode("overwrite").save()
 
     def q_ngram(df):
         dedup.ngram_jaccard_pairs(
             df, "doc_id", "text", n=3, min_jaccard=0.2
         ).write.format("noop").mode("overwrite").save()
 
+    def q_repetition(df):
+        from llm_tab_cleaner_spark.functions.repetition import repetition_stats
+
+        repetition_stats(df, "doc_id", "text", 2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_paragraph(df):
+        dedup.strip_duplicate_paragraphs(df, "doc_id", "text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_decontam(df):
+        # eval set scales with the frame (each vowel-rotated copy contributes
+        # its own %50 members and matches only its own rotation), so the
+        # broadcast set grows 5× alongside the probe side — still linear
+        bench = df.filter(F.col("doc_id") % 50 == 0)
+        dedup.decontaminate(df, "doc_id", "text", bench, n=5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     out = {"sf_dir": sf_dir, "cpus": cpus, "n_1x": n1, "n_5x": n1 * SCALE, "ops": {}}
     for name, q in [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
-                    ("ngram_jaccard", q_ngram)]:
+                    ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
+                    ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam)]:
         q(d1)
         q(dN)  # warm both plan shapes
         legs: dict[str, list[tuple[float, float]]] = {"1x": [], "5x": []}
