@@ -173,9 +173,9 @@ def clean_stream(
 
     ``config`` (an optional PipelineConfig) enables the same opt-in corpus
     stages the batch pipeline runs (license gate before the scorer,
-    comment_ratio feature): both are stateless native projections/filters,
-    so they compose with Structured Streaming unchanged, and their columns
-    ride the sink schema."""
+    comment_ratio feature, Gopher dup-line gate): all stateless native
+    projections/filters, so they compose with Structured Streaming
+    unchanged, and their columns ride the sink schema."""
     if config is not None:
         from llm_tab_cleaner_spark.plans.pipeline import CleanPipeline
 
@@ -184,7 +184,7 @@ def clean_stream(
         stream_df, spark, threshold=threshold, num_partitions=None
     )
     extra = [
-        c for c in ("license_class", "spdx_id", "comment_ratio")
+        c for c in ("license_class", "spdx_id", "comment_ratio", "dup_line_frac")
         if c in scored.columns
     ]
     out = scored.select(

@@ -173,13 +173,18 @@ def test_stream_corpus_stages_gate_and_feature(spark, tmp_path):
         ("r", "gpl.c", "c1", "c",
          "/* GNU General Public License */\nint main() { return 0; }\n"),
         ("r", "plain.go", "c2", "go", "package main\n\nfunc main() {}\n"),
+        ("r", "boiler.py", "c3", "python", "x = 1\n" * 50 + "y = 2\n"),
     ]
     cf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
     src = str(tmp_path / "src_gate")
     os.makedirs(src)
     spark.createDataFrame(cf).coalesce(1).write.mode("append").parquet(src)
 
-    cfg = PipelineConfig(license_allow=("permissive", "none"), with_comment_ratio=True)
+    cfg = PipelineConfig(
+        license_allow=("permissive", "none"),
+        with_comment_ratio=True,
+        dup_line_frac_max=0.30,  # Gopher dup-line gate, streaming-composed
+    )
     out_dir = str(tmp_path / "out_gate")
     q = clean_stream(
         file_stream_source(spark, src),
@@ -192,9 +197,11 @@ def test_stream_corpus_stages_gate_and_feature(spark, tmp_path):
     q.awaitTermination(300)
 
     got = spark.read.parquet(out_dir).toPandas().set_index("path")
-    assert sorted(got.index) == ["mit.py", "plain.go"]  # gpl.c gated out
+    assert sorted(got.index) == ["mit.py", "plain.go"]  # gpl.c license-gated,
+    # boiler.py dup-line-gated (49/51 duplicate lines) — neither reaches the sink
     assert got.loc["mit.py", "license_class"] == "permissive"
     assert got.loc["mit.py", "comment_ratio"] > 0
+    assert (got["dup_line_frac"] <= 0.30).all()
 
     batch, _ = CleanPipeline(spark, cfg).run(spark.createDataFrame(cf))
     want = batch.select("path", "keep", "confidence", "comment_ratio").toPandas().set_index("path")
