@@ -72,8 +72,16 @@ def main() -> None:
     dN = copies[0]
     for c in copies[1:]:
         dN = dN.unionByName(c)
+    # BOTH legs repartitioned to the same task count: the sf0.1 table is a
+    # single ~1.5 MB file, so an unpartitioned 1× leg runs ONE serial task
+    # while the 5× leg runs `cpus` concurrent workers — and on this host
+    # concurrent byte-streaming workers accrue stalled cycles as utime
+    # (BENCH/BASELINE.md "8→32 plateau"), inflating the 5× CPU reading ~3×
+    # and faking super-linear growth. Equal parallelism isolates the
+    # data-scale term (verified: repetition_stats read 5.6-6.4× asymmetric,
+    # 1.8× equal-partitioned; decontaminate 6.2-9.2× vs 1.24×).
     dN = dN.repartition(cpus).localCheckpoint(eager=True)
-    d1 = d1.localCheckpoint(eager=True)
+    d1 = d1.repartition(cpus).localCheckpoint(eager=True)
 
     def q_minhash(df):
         sigs = dedup.minhash_signatures(df, ["doc_id"], "text", 64, 5).localCheckpoint(
