@@ -880,6 +880,40 @@ def _q_deterministic_sample(spark, sf):
     )
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance log-weights (Xie et al. 2023) over the documents
+    corpus: target = the English docs, raw = everything; unigram+bigram
+    bag models with add-1 smoothing. Oracle replays the formula over gram
+    TEXT (the Spark side keys on the kernel's 64-bit gram hashes —
+    identical counts barring ~2^-64 collisions, the contract the whole
+    ngram family carries); weights rounded to 4 decimals on both sides
+    (double-summation order is the only cross-engine variation)."""
+    from llm_tab_cleaner_spark.operators.selection import dsir_log_weights
+
+    d = _t(spark, sf, "documents")
+    out = dsir_log_weights(d, "doc_id", "text", d.filter(F.col("lang") == "en"))
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.round("dsir_logweight", 4).cast("double").alias("dsir_logweight"),
+    )
+
+
+def _q_mixture_sample(spark, sf):
+    """Pile-style per-source mixture sampling: src0 weighted 3×, src1/src2
+    1× each, everything else dropped; membership is the same md5-fraction
+    filter deterministic_sample oracles, with the per-source rate computed
+    from broadcast-joined source counts inside the plan (no driver action).
+    The oracle recomputes counts + rates + membership in SQL."""
+    from llm_tab_cleaner_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf, "documents")
+    out = mixture_sample(
+        d, "source", "doc_id", {"src0": 3.0, "src1": 1.0, "src2": 1.0}, 40
+    )
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+
+
 def _q_dataset_splits(spark, sf):
     """Deterministic train/val/test assignment from the same hash fraction —
     disjoint + exhaustive by construction; per-split counts oracled."""
@@ -1090,19 +1124,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver records only the FIRST 50 entries
     # of this dict, so (round-4 ADVICE) the NEWEST oracled queries go INSIDE
     # the recorded window — learned_fuzzy/license_stats/comment_stats
-    # (round 4) and pipeline_corpus_gate (round 5) sit in the top 50, and
-    # the tail holds (a) long-stable queries whose operators are also
-    # covered by other green rows (event_bins ⊂ event_windows/sessions,
-    # short_docs ⊂ doc_stats, embedding_norms ⊂ cosine/knn family,
-    # dup_pairs_count ⊂ exact_dedup_docs, corr_price_qty ⊂ corr_matrix,
-    # exact_dedup_prefix ~ exact_dedup_docs) and (b) the three model-backed
-    # rows-only queries. tools/parity_check.py still verifies ALL of them.
+    # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
+    # paragraph_dedup/decontaminate/dsir_weights/mixture_sample (round 5)
+    # sit in the top 50, and the tail holds (a) long-stable queries whose
+    # operators are also covered by other green rows (event_bins ⊂
+    # event_windows/sessions, short_docs ⊂ doc_stats, embedding_norms ⊂
+    # cosine/knn family, dup_pairs_count ⊂ exact_dedup_docs, corr_price_qty
+    # ⊂ corr_matrix, exact_dedup_prefix ~ exact_dedup_docs,
+    # customers_no_orders/parts_in_lineitem = the J1/J2 joins, green since
+    # round 1) and (b) the three model-backed rows-only queries.
+    # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
         "region_revenue": _q_region_revenue,
         "top_customers": _q_top_customers,
-        "customers_no_orders": _q_customers_no_orders,
-        "parts_in_lineitem": _q_parts_in_lineitem,
+        "dsir_weights": _q_dsir_weights,
+        "mixture_sample": _q_mixture_sample,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
@@ -1149,7 +1186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # ten below ARE oracled — tools/parity_check.py verifies them ----
+        # twelve below ARE oracled — tools/parity_check.py verifies them ----
+        "customers_no_orders": _q_customers_no_orders,
+        "parts_in_lineitem": _q_parts_in_lineitem,
         "price_outliers": _q_price_outliers,
         "window_top_orders": _q_window_top_orders,
         "string_length_stats": _q_string_length_stats,
@@ -1876,6 +1915,70 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE CAST(('0x' || substr(md5(coalesce('v:' || doc_id::VARCHAR, 'n')), 1, 8)) AS UBIGINT)
                   / 4294967296.0 < 0.25
+        """,
+        "dsir_weights": f"""
+            -- DSIR (Xie et al. 2023) unigram+bigram log-likelihood-ratio
+            -- weights, target = English docs; replayed over gram TEXT
+            -- (Spark keys on 64-bit kernel gram hashes — identical counts
+            -- barring ~2^-64 collisions). Formula order mirrors
+            -- operators/selection.py exactly; round(4) both sides.
+            WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       tk,
+                       list_transform(
+                         generate_series(1, greatest(len(tk) - 1, 0)),
+                         i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                     ) AS grams
+              FROM toks
+            ),
+            e AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+            raw AS (SELECT gram, count(*) AS cr FROM e GROUP BY gram),
+            tgt AS (SELECT gram, count(*) AS ct FROM e WHERE lang = 'en'
+                    GROUP BY gram),
+            vocab AS (
+              SELECT coalesce(r.gram, t.gram) AS gram,
+                     coalesce(r.cr, 0) AS cr, coalesce(t.ct, 0) AS ct
+              FROM raw r FULL JOIN tgt t ON r.gram = t.gram
+            ),
+            tot AS (SELECT count(*) AS v, sum(cr) AS tr, sum(ct) AS tt
+                    FROM vocab),
+            lr AS (
+              SELECT gram,
+                     (ln(ct + 1.0) - ln(tt + 1.0 * v))
+                     - (ln(cr + 1.0) - ln(tr + 1.0 * v)) AS lr
+              FROM vocab, tot
+            ),
+            pd AS (
+              SELECT e.doc_id, count(*) AS n_grams, sum(lr.lr) AS w
+              FROM e JOIN lr USING (gram) GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(round(coalesce(pd.w, 0.0), 4) AS DOUBLE)
+                     AS dsir_logweight
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "mixture_sample": """
+            -- per-source counts -> capped rates -> md5-fraction membership;
+            -- weights src0: 3, src1: 1, src2: 1 over total 40, wsum 5.0
+            WITH cnt AS (SELECT source, count(*) AS n FROM documents
+                         GROUP BY source),
+            r AS (
+              SELECT source,
+                     least(1.0,
+                           CASE source WHEN 'src0' THEN 3.0
+                                       WHEN 'src1' THEN 1.0
+                                       WHEN 'src2' THEN 1.0
+                                       ELSE 0.0 END
+                           / 5.0 * 40.0 / n) AS rate
+              FROM cnt
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE CAST(('0x' || substr(md5('v:' || d.doc_id::VARCHAR), 1, 8))
+                       AS UBIGINT) / 4294967296.0 < r.rate
         """,
         "dataset_splits": """
             WITH f AS (

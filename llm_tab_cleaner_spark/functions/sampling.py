@@ -51,6 +51,54 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     return df.filter(hash_fraction(F.col(key_col)) < fraction)
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    total_rows: int,
+) -> DataFrame:
+    """Deterministic per-source mixture sampling (the Pile/ROOTS-style
+    corpus-mixing step — public: Gao et al. 2020 §2 mixes sources by
+    weight; the reference has only uniform ``df.sample``, core.py:352-358).
+    Keep a hash-deterministic sample of each source sized so the output
+    approximates ``total_rows`` rows distributed ∝ ``weights`` (normalized
+    over the sources present). A source whose target exceeds its row count
+    keeps ALL its rows (rate capped at 1 — no upsampling; re-normalize and
+    rerun if exact proportions matter more than coverage). Sources absent
+    from ``weights`` get weight 0 and are dropped.
+
+    Fully lazy one-pass plan: per-source counts are a tiny aggregation
+    broadcast-joined back (shuffle payload = one row per source), the keep
+    decision is `hash_fraction(key) < rate` — membership depends only on
+    the key value, so it is stable across partitioning, cluster size and
+    reruns, and replayable in SQL (the driver oracle does)."""
+    if total_rows < 0:
+        raise ValueError(f"total_rows must be >= 0, got {total_rows}")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_n"))
+    wmap = F.create_map(
+        *[F.lit(x) for s, w in weights.items() for x in (s, float(w))]
+    )
+    rates = counts.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+            / F.lit(wsum)
+            * F.lit(float(total_rows))
+            / F.col("_src_n"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_fraction(F.col(key_col)) < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
 def hash_split(col: Column, splits: list[tuple[str, float]]) -> Column:
     """Split label per row from cumulative hash-fraction bounds, e.g.
     ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Fractions must sum to

@@ -573,11 +573,16 @@ def embedding_near_dup_pairs(
     )
 
 
-def _batch_token_ngram_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
-    """Distinct token-n-gram hashes per row, vectorized across the batch:
-    token hashes from the shared kernel, gram hash = polynomial combination
-    of ``n`` consecutive token hashes (within one row) + fmix64, per-row
-    dedup via searchsorted slices + np.unique."""
+def _batch_token_ngram_hashes(
+    texts: pd.Series, n: int, distinct: bool = True
+) -> list[np.ndarray]:
+    """Token-n-gram hashes per row, vectorized across the batch: token
+    hashes from the shared kernel, gram hash = polynomial combination of
+    ``n`` consecutive token hashes (within one row) + fmix64. With
+    ``distinct`` (the default — what the Jaccard/overlap family needs),
+    per-row dedup via searchsorted slices + np.unique; ``distinct=False``
+    keeps multiplicity in document order (bag-of-n-grams semantics — what
+    likelihood-ratio scoring over gram counts needs, operators/selection)."""
     h, tok_row, rows = _batch_token_hashes(texts)
     empty = np.zeros(0, dtype=np.int64)
     if h.size < n:
@@ -596,6 +601,11 @@ def _batch_token_ngram_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
     vr = tok_row[:m][valid]  # nondecreasing → searchsorted row slicing
     starts = np.searchsorted(vr, np.arange(rows))
     ends = np.searchsorted(vr, np.arange(rows), side="right")
+    if not distinct:
+        return [
+            vg[starts[r] : ends[r]] if ends[r] > starts[r] else empty
+            for r in range(rows)
+        ]
     return [
         np.unique(vg[starts[r] : ends[r]]) if ends[r] > starts[r] else empty
         for r in range(rows)
@@ -603,10 +613,15 @@ def _batch_token_ngram_hashes(texts: pd.Series, n: int) -> list[np.ndarray]:
 
 
 def token_ngram_hashes(
-    df: DataFrame, id_cols: list[str], content_col: str, n: int = 3
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """id_cols + array<long> of DISTINCT token-n-gram hashes per doc (one
-    Arrow-batched UDF, numpy-vectorized across the batch)."""
+    """id_cols + array<long> of token-n-gram hashes per doc (one
+    Arrow-batched UDF, numpy-vectorized across the batch). DISTINCT per doc
+    by default; ``distinct=False`` keeps multiplicity in document order."""
 
     @F.pandas_udf("array<long>")
     def gram_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -615,7 +630,8 @@ def token_ngram_hashes(
         for texts in it:
             for chunk in _byte_chunks(texts):
                 yield pd.Series(
-                    [g for g in _batch_token_ngram_hashes(chunk, n)], dtype=object
+                    [g for g in _batch_token_ngram_hashes(chunk, n, distinct)],
+                    dtype=object,
                 )
 
     return df.select(*id_cols, gram_udf(F.col(content_col)).alias("gram_hashes"))

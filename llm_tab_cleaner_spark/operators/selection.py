@@ -1,0 +1,146 @@
+"""Data-selection operators for training-corpus curation.
+
+The reference's selection surface stops at uniform sampling
+(/root/reference/src/llm_tab_cleaner/core.py:352-358 ``df.sample``) and
+rule-based keep/drop. A pretraining pipeline additionally needs
+DISTRIBUTION-AWARE selection: choose raw documents that look like a target
+domain. This module implements the published hashed-n-gram importance-
+weighting scheme (DSIR — Xie et al. 2023, "Data Selection for Language
+Models via Importance Resampling", public): each document is scored by the
+log-likelihood ratio of a bag-of-n-grams model of the TARGET sample vs one
+of the RAW corpus; resampling by these weights shifts the corpus toward the
+target distribution.
+
+Spark-first shape (per-step scale notes in the function docstring):
+gram extraction rides the same vectorized Arrow kernel the dedup family
+uses (operators/dedup.py:token_ngram_hashes — one pass, byte-bounded
+chunks); count estimation is two map-side-combined aggregations whose
+shuffle payload is (8-byte gram hash, partial count) pairs, never text;
+scoring is a join against the gram log-ratio table + a per-doc sum with
+map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.operators.dedup import token_ngram_hashes
+
+#: Default n-gram orders — the DSIR paper's unigram + bigram features.
+DSIR_N_VALUES = (1, 2)
+
+
+def gram_occurrences(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str,
+    n_values: tuple[int, ...] = DSIR_N_VALUES,
+) -> DataFrame:
+    """id_cols + one row per token-n-gram OCCURRENCE (multiplicity kept —
+    bag-of-n-grams semantics), gram identity as the kernel's 64-bit hash
+    ``gh``. One kernel pass per n; tokenization is the shared ASCII-ws
+    split, so gram counts here agree with the Jaccard/decontaminate family
+    barring ~2^-64 hash collisions."""
+    parts = [
+        token_ngram_hashes(df, id_cols, text_col, n, distinct=False).select(
+            *id_cols, F.explode("gram_hashes").alias("gh")
+        )
+        for n in n_values
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dsir_log_weights(
+    docs_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    target_text_col: str | None = None,
+    n_values: tuple[int, ...] = DSIR_N_VALUES,
+    smoothing: float = 1.0,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: ``log p_target(doc) −
+    log p_raw(doc)`` under add-``smoothing`` bag-of-n-grams models fitted on
+    ``target_df`` (the small target-domain sample) and ``docs_df`` (the raw
+    corpus itself), over the union vocabulary. Returns one row per input
+    doc: ``(id_col, n_grams, dsir_logweight)`` — weight 0.0 for docs with
+    no grams. Downstream, resample with probability ∝ exp(weight) (or take
+    top-k by weight); `functions/sampling.hash_sample` keeps the selection
+    deterministic.
+
+    Semantics: weight = Σ_gram-occurrences [ln(ct(g)+α) − ln(Tt+α·V)
+    − ln(cr(g)+α) + ln(Tr+α·V)] where ct/cr are target/raw occurrence
+    counts, Tt/Tr the total occurrences, V the union vocabulary size.
+    Deterministic — no RNG, no wall clock; double summation order is the
+    only run-to-run variation (~1e-12, below any sane rounding).
+
+    Scale shape at 100 TB: the gram table is localCheckpointed once (one
+    kernel pass; two consumers — the raw-count agg and the scoring join);
+    count aggregation shuffles (8-byte hash, partial count) with map-side
+    combine. With ``buckets`` set (the paper's operating point, e.g. 2^20)
+    gram hashes fold into a FIXED-size feature space, the log-ratio table
+    is ≤ ``buckets`` rows and broadcast — the scoring join then shuffles
+    only (id, partial sum) pairs. With ``buckets=None`` (exact grams, the
+    oracle-replayable mode) the ratio table is vocabulary-sized and the
+    scoring join shuffles on gram hash — fine to ~10^9 distinct grams,
+    bucket beyond that."""
+    target_text_col = target_text_col or text_col
+    a = float(smoothing)
+    if a <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+
+    doc_grams = gram_occurrences(docs_df, [id_col], text_col, n_values)
+    tgt_grams = gram_occurrences(target_df, [], target_text_col, n_values)
+    if buckets is not None:
+        if buckets < 2:
+            raise ValueError(f"buckets must be >= 2, got {buckets}")
+        doc_grams = doc_grams.withColumn("gh", F.pmod("gh", F.lit(buckets)))
+        tgt_grams = tgt_grams.withColumn("gh", F.pmod("gh", F.lit(buckets)))
+    # two consumers (raw counts + scoring join) — materialize the one
+    # kernel pass; localCheckpoint, not persist (CacheManager plan-equality
+    # reuse makes persist() lie in benchmarks, see CLAUDE.md)
+    doc_grams = doc_grams.localCheckpoint(eager=True)
+
+    raw_counts = doc_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("ct"))
+    vocab = (
+        raw_counts.join(tgt_counts, "gh", "full_outer")
+        .select(
+            "gh",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = vocab.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cr").alias("tr"),
+        F.sum("ct").alias("tt"),
+    )
+    lr = vocab.crossJoin(F.broadcast(totals)).select(
+        "gh",
+        (
+            (F.log(F.col("ct") + F.lit(a)) - F.log(F.col("tt") + F.lit(a) * F.col("v")))
+            - (F.log(F.col("cr") + F.lit(a)) - F.log(F.col("tr") + F.lit(a) * F.col("v")))
+        ).alias("lr"),
+    )
+    if buckets is not None:
+        lr = F.broadcast(lr)
+    per_doc = (
+        doc_grams.join(lr, "gh")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("w"), F.count(F.lit(1)).alias("n_grams"))
+    )
+    return (
+        docs_df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("w", F.lit(0.0)).alias("dsir_logweight"),
+        )
+    )

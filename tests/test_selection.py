@@ -1,0 +1,176 @@
+"""DSIR importance weights + mixture sampling (operators/selection.py,
+functions/sampling.mixture_sample)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.functions.sampling import mixture_sample
+from llm_tab_cleaner_spark.operators.selection import dsir_log_weights
+
+DOCS = [
+    (1, "spark runs distributed queries on spark clusters"),
+    (2, "the cat sat on the mat"),
+    (3, "spark queries scale out"),
+    (4, "an unrelated note about gardening and soil"),
+    (5, ""),
+    (6, "   \t  "),
+    (7, "spark spark spark"),
+]
+TARGET = [
+    (101, "spark queries"),
+    (102, "distributed spark clusters"),
+]
+
+
+def _grams(text: str) -> list[str]:
+    toks = text.split()
+    return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+
+def _python_dsir(docs, target, alpha=1.0):
+    """Pure-Python replay of the formula over gram TEXT (the kernel hashes
+    grams injectively w.h.p., so text-keyed counts must agree)."""
+    raw: dict[str, int] = {}
+    tgt: dict[str, int] = {}
+    for _i, t in docs:
+        for g in _grams(t):
+            raw[g] = raw.get(g, 0) + 1
+    for _i, t in target:
+        for g in _grams(t):
+            tgt[g] = tgt.get(g, 0) + 1
+    vocab = set(raw) | set(tgt)
+    v, tr, tt = len(vocab), sum(raw.values()), sum(tgt.values())
+    out = {}
+    for i, t in docs:
+        gs = _grams(t)
+        w = sum(
+            (math.log(tgt.get(g, 0) + alpha) - math.log(tt + alpha * v))
+            - (math.log(raw.get(g, 0) + alpha) - math.log(tr + alpha * v))
+            for g in gs
+        )
+        out[i] = (len(gs), w)
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    d = spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    t = spark.createDataFrame(pd.DataFrame(TARGET, columns=["doc_id", "text"]))
+    return d, t
+
+
+def test_dsir_matches_python_replay(spark, frames):
+    d, t = frames
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_log_weights(d, "doc_id", "text", t).collect()
+    }
+    want = _python_dsir(DOCS, TARGET)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], f"doc {i} gram count"
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-9), f"doc {i}"
+
+
+def test_dsir_direction_and_empty_docs(spark, frames):
+    d, t = frames
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_log_weights(d, "doc_id", "text", t).collect()
+    }
+    # target-like docs outrank the unrelated one
+    assert got[3][1] > got[4][1]
+    assert got[1][1] > got[4][1]
+    # docs with no tokens: zero grams, weight exactly 0
+    assert got[5] == (0, 0.0)
+    assert got[6] == (0, 0.0)
+
+
+def test_dsir_bucketed_mode(spark, frames):
+    d, t = frames
+    base = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_log_weights(d, "doc_id", "text", t).collect()
+    }
+    # huge bucket count → pmod injective on the realized gram set w.h.p.
+    # → identical weights; small bucket count → same gram counts, weights
+    # still finite and deterministic across runs
+    big = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logweight"])
+        for r in dsir_log_weights(
+            d, "doc_id", "text", t, buckets=1 << 40
+        ).collect()
+    }
+    assert {i: v[0] for i, v in big.items()} == {i: v[0] for i, v in base.items()}
+    for i in base:
+        assert big[i][1] == pytest.approx(base[i][1], abs=1e-9)
+    small1 = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_log_weights(d, "doc_id", "text", t, buckets=64).collect()
+    }
+    small2 = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_log_weights(d, "doc_id", "text", t, buckets=64).collect()
+    }
+    assert small1 == small2
+    assert all(math.isfinite(w) for w in small1.values())
+
+
+def test_dsir_validation(spark, frames):
+    d, t = frames
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_log_weights(d, "doc_id", "text", t, smoothing=0.0)
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_log_weights(d, "doc_id", "text", t, buckets=1)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _frac(key) -> float:
+    h = hashlib.md5(f"v:{key}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(1 << 32)
+
+
+def test_mixture_sample_membership_replay(spark):
+    rows = [(i, ["web", "code", "papers"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    weights = {"web": 1.0, "code": 2.0}  # papers unlisted → dropped
+    total = 120
+    got = {
+        (r["doc_id"], r["source"])
+        for r in mixture_sample(df, "source", "doc_id", weights, total).collect()
+    }
+    counts = {"web": 100, "code": 100, "papers": 100}
+    want = set()
+    for i, s in rows:
+        w = weights.get(s, 0.0)
+        rate = min(1.0, w / 3.0 * total / counts[s])
+        if _frac(i) < rate:
+            want.add((i, s))
+    assert got == want
+    assert not any(s == "papers" for _i, s in got)
+
+
+def test_mixture_sample_rate_cap_keeps_all(spark):
+    rows = [(i, "tiny" if i < 10 else "big") for i in range(110)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "source"]))
+    # tiny's target (50% of 100 = 50) exceeds its 10 rows → keep all 10
+    out = mixture_sample(df, "source", "doc_id", {"tiny": 1.0, "big": 1.0}, 100)
+    kept = out.groupBy("source").count().collect()
+    by_src = {r["source"]: r["count"] for r in kept}
+    assert by_src["tiny"] == 10
+    assert 0 < by_src.get("big", 0) < 100
+
+
+def test_mixture_sample_validation(spark):
+    df = spark.createDataFrame(pd.DataFrame([(1, "a")], columns=["doc_id", "source"]))
+    with pytest.raises(ValueError, match="weights"):
+        mixture_sample(df, "source", "doc_id", {"a": 0.0}, 10)
+    with pytest.raises(ValueError, match="total_rows"):
+        mixture_sample(df, "source", "doc_id", {"a": 1.0}, -1)
