@@ -108,6 +108,9 @@ def dsir_log_weights(
 
     raw_counts = doc_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("cr"))
     tgt_counts = tgt_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("ct"))
+    # vocab feeds BOTH totals and the ratio projection — without a
+    # materialization the plan recomputes it (and the target-side kernel
+    # pass + the full raw-count aggregation behind it) twice
     vocab = (
         raw_counts.join(tgt_counts, "gh", "full_outer")
         .select(
@@ -115,6 +118,7 @@ def dsir_log_weights(
             F.coalesce("cr", F.lit(0)).alias("cr"),
             F.coalesce("ct", F.lit(0)).alias("ct"),
         )
+        .localCheckpoint(eager=True)
     )
     totals = vocab.agg(
         F.count(F.lit(1)).alias("v"),
