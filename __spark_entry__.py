@@ -914,6 +914,22 @@ def _q_mixture_sample(spark, sf):
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
 
 
+def _q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis with the RNG replaced by the md5 hash fraction): top-25 docs
+    weighted by n_chars. The oracle replays score = frac^(1/n_chars) with
+    the same tie-break; TakeOrderedAndProject plan (no full sort)."""
+    from llm_tab_cleaner_spark.functions.sampling import weighted_hash_sample
+
+    d = _t(spark, sf, "documents")
+    out = weighted_hash_sample(d, "doc_id", "n_chars", 25)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        F.round("sample_score", 6).alias("sample_score"),
+    )
+
+
 def _q_dataset_splits(spark, sf):
     """Deterministic train/val/test assignment from the same hash fraction —
     disjoint + exhaustive by construction; per-split counts oracled."""
@@ -1140,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": _q_top_customers,
         "dsir_weights": _q_dsir_weights,
         "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
@@ -1147,7 +1164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
         "length_outliers": _q_length_outliers,
-        "email_domains": _q_email_domains,
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
         "rare_brands": _q_rare_brands,
@@ -1186,9 +1202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # twelve below ARE oracled — tools/parity_check.py verifies them ----
+        # thirteen below ARE oracled — tools/parity_check.py verifies them ----
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
+        "email_domains": _q_email_domains,
         "price_outliers": _q_price_outliers,
         "window_top_orders": _q_window_top_orders,
         "string_length_stats": _q_string_length_stats,
@@ -1979,6 +1996,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN r USING (source)
             WHERE CAST(('0x' || substr(md5('v:' || d.doc_id::VARCHAR), 1, 8))
                        AS UBIGINT) / 4294967296.0 < r.rate
+        """,
+        "weighted_sample": """
+            -- Efraimidis-Spirakis top-k with the md5-fraction RNG:
+            -- score = frac^(1/n_chars), k largest, doc_id tie-break
+            WITH s AS (
+              SELECT doc_id, source,
+                     pow(CAST(('0x' || substr(md5('v:' || doc_id::VARCHAR), 1, 8))
+                              AS UBIGINT) / 4294967296.0,
+                         1.0 / n_chars) AS sample_score
+              FROM documents
+              WHERE n_chars > 0
+            )
+            SELECT doc_id, source, round(sample_score, 6) AS sample_score
+            FROM s
+            ORDER BY sample_score DESC, doc_id
+            LIMIT 25
         """,
         "dataset_splits": """
             WITH f AS (

@@ -99,6 +99,43 @@ def mixture_sample(
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    log_weights: bool = False,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the published
+    Efraimidis & Spirakis 2006 scheme — public — with the RNG replaced by
+    the md5 hash fraction): each row scores ``u^(1/w)`` with
+    ``u = hash_fraction(key)``; the ``k`` largest scores are exactly a
+    weight-proportional without-replacement draw. This is the resampling
+    half of importance-weighted selection (operators/selection.py
+    ``dsir_log_weights`` → pass ``log_weights=True`` to treat the column
+    as ln w, computed in log space so huge/tiny log-weights can't
+    overflow): deterministic, partition-independent, rerun-stable —
+    everything ``df.sample`` is not.
+
+    Rows with non-positive weight (or null weight) are excluded. Output
+    adds ``sample_score``: larger = selected first; with ``log_weights``
+    it is the LOG of the E-S score (``ln(u)·e^(−lw)``, ≤ 0 — same
+    ordering, overflow-safe for any lw). Plan shape: per-partition top-k
+    via ``TakeOrderedAndProject`` — only k·partitions candidate rows
+    move, no full sort shuffle."""
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    u = hash_fraction(F.col(key_col))
+    if log_weights:
+        score = F.log(u) * F.exp(-F.col(weight_col).cast("double"))
+        keep = df.filter(F.col(weight_col).isNotNull())
+    else:
+        score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+        keep = df.filter(F.col(weight_col) > 0)
+    keep = keep.withColumn("sample_score", score)
+    return keep.orderBy(F.desc("sample_score"), F.col(key_col)).limit(k)
+
+
 def hash_split(col: Column, splits: list[tuple[str, float]]) -> Column:
     """Split label per row from cumulative hash-fraction bounds, e.g.
     ``[("train", 0.8), ("val", 0.1), ("test", 0.1)]``. Fractions must sum to

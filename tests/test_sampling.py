@@ -64,3 +64,60 @@ def test_hash_split_validation():
     with pytest.raises(ValueError, match="fraction"):
         from pyspark.sql import SparkSession
         hash_sample(None, "k", 1.5)
+
+
+def test_weighted_hash_sample_python_replay(spark):
+    """Efraimidis-Spirakis top-k replayed in Python: same keys selected,
+    same order, score = u^(1/w)."""
+    import hashlib
+    import math
+
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "w"]))
+    from llm_tab_cleaner_spark.functions.sampling import weighted_hash_sample
+
+    got = weighted_hash_sample(df, "k", "w", 20).select("k", "sample_score").collect()
+
+    def frac(k):
+        return int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16) / 2**32
+
+    scored = sorted(
+        ((frac(i) ** (1.0 / w), i) for i, w in rows), key=lambda t: (-t[0], t[1])
+    )[:20]
+    assert [r["k"] for r in got] == [i for _s, i in scored]
+    for r, (s, _i) in zip(got, scored):
+        assert r["sample_score"] == pytest.approx(s, abs=1e-12)
+    # weight-proportional draw: heavy keys overrepresented vs uniform
+    heavy = sum(1 for r in got if dict(rows)[r["k"]] >= 40)
+    assert heavy >= 6  # 20%-of-keys stratum, weight share ~40%
+
+
+def test_weighted_hash_sample_log_mode_matches(spark):
+    """log_weights=True selects the same rows as exp(w) in plain mode (the
+    ordering keys are monotone transforms of each other)."""
+    import math
+
+    rows = [(i, float((i * 13) % 11 - 5)) for i in range(100)]  # lw in [-5, 5]
+    pdf = pd.DataFrame(rows, columns=["k", "lw"])
+    df = spark.createDataFrame(pdf)
+    from llm_tab_cleaner_spark.functions.sampling import weighted_hash_sample
+
+    log_sel = [
+        r["k"]
+        for r in weighted_hash_sample(df, "k", "lw", 15, log_weights=True).collect()
+    ]
+    plain = df.withColumn("w", F.exp("lw"))
+    plain_sel = [r["k"] for r in weighted_hash_sample(plain, "k", "w", 15).collect()]
+    assert log_sel == plain_sel
+
+
+def test_weighted_hash_sample_guards(spark):
+    from llm_tab_cleaner_spark.functions.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "w": [1.0, 0.0, None]})
+    )
+    out = weighted_hash_sample(df, "k", "w", 10).collect()
+    assert [r["k"] for r in out] == [1]  # zero and null weights excluded
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_hash_sample(df, "k", "w", 0)
