@@ -57,6 +57,7 @@ def mixture_sample(
     key_col: str,
     weights: dict[str, float],
     total_rows: int,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-source mixture sampling (the Pile/ROOTS-style
     corpus-mixing step — public: Gao et al. 2020 §2 mixes sources by
@@ -68,6 +69,13 @@ def mixture_sample(
     rerun if exact proportions matter more than coverage). Sources absent
     from ``weights`` get weight 0 and are dropped.
 
+    With ``size_col`` (e.g. a token count), the budget is measured in THAT
+    unit: ``total_rows`` becomes a total-size target, per-source totals are
+    ``sum(size_col)``, and the keep rate is target_size/source_size —
+    row inclusion stays uniform-by-key within a source, so the expected
+    sampled size per source is the target (real mixtures are specified in
+    tokens, not documents).
+
     Fully lazy one-pass plan: per-source counts are a tiny aggregation
     broadcast-joined back (shuffle payload = one row per source), the keep
     decision is `hash_fraction(key) < rate` — membership depends only on
@@ -78,7 +86,8 @@ def mixture_sample(
     wsum = float(sum(weights.values()))
     if wsum <= 0:
         raise ValueError("weights must sum to a positive value")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_src_n"))
+    size = F.sum(size_col) if size_col else F.count(F.lit(1))
+    counts = df.groupBy(source_col).agg(size.alias("_src_n"))
     wmap = F.create_map(
         *[F.lit(x) for s, w in weights.items() for x in (s, float(w))]
     )

@@ -707,8 +707,17 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Edge bound for connected_components' driver-side union-find shortcut:
+#: 1M edges collect as two longs each (~16 MB) — far below driver limits.
+_CC_DRIVER_EDGE_MAX = 1_000_000
+
+
 def connected_components(
-    pairs_df: DataFrame, a_col: str, b_col: str, max_iters: int = 25
+    pairs_df: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_iters: int = 25,
+    driver_edge_limit: int = _CC_DRIVER_EDGE_MAX,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs_df`` — component =
     the MINIMUM id reachable through the pair graph. The standard final
@@ -725,16 +734,56 @@ def connected_components(
     a graph still moving after ``max_iters`` raises rather than returning
     silently-wrong clusters.
 
-    Scale shape: every iteration is one shuffle keyed on ids (join) + one
-    partial-aggregated min — payloads are two longs per edge, never
-    content. Each round is localCheckpointed: lineage stays flat (an
-    unbounded iterative plan re-executes the whole history per action) and
-    the convergence check is a cheap driver-side aggregate. Convergence is
-    detected via sum(component), which strictly decreases until fixpoint
-    (labels only ever decrease). At 10^12 edges you would swap the loop
-    body for the large-star/small-star variant; the join shape per round
-    is identical."""
+    Scale shape — the standard two-tier hybrid: near-dup pair graphs are
+    usually MUCH smaller than the corpus (pairs ≪ docs), so when the edge
+    list fits ``driver_edge_limit`` (default 1M edges ≈ 16 MB of longs)
+    the components are solved with one bounded collect + union-find on the
+    driver — milliseconds, versus one scheduled join+agg+checkpoint round
+    PER diameter step for the distributed loop, whose fixed cost dominates
+    exactly when the graph is small. Labels are identical by construction
+    (min reachable id per node, deterministic). Above the bound (or with
+    ``driver_edge_limit=0``) the distributed hash-min loop runs: every
+    iteration is one shuffle keyed on ids (join) + one partial-aggregated
+    min — payloads are two longs per edge, never content. Each round is
+    localCheckpointed: lineage stays flat (an unbounded iterative plan
+    re-executes the whole history per action) and the convergence check is
+    a cheap driver-side aggregate via sum(component), which strictly
+    decreases until fixpoint (labels only ever decrease). At 10^12 edges
+    you would swap the loop body for the large-star/small-star variant;
+    the join shape per round is identical."""
     src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    if driver_edge_limit:
+        probe = pairs_df.select(src, dst).limit(driver_edge_limit + 1).collect()
+        if len(probe) <= driver_edge_limit:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in probe:
+                a, b = row["src"], row["dst"]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by MIN root → the root IS the min id seen so
+                    # far in the component; final find() gives min overall
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            rows = [(x, find(x)) for x in parent]
+            spark = pairs_df.sparkSession
+            schema = pairs_df.select(
+                src.alias("id"), dst.alias("component")
+            ).schema
+            return spark.createDataFrame(rows, schema)
     half = pairs_df.select(src, dst)
     edges = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

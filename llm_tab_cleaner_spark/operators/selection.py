@@ -148,3 +148,39 @@ def dsir_log_weights(
             F.coalesce("w", F.lit(0.0)).alias("dsir_logweight"),
         )
     )
+
+
+def dsir_select(
+    docs_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    k: int,
+    target_text_col: str | None = None,
+    n_values: tuple[int, ...] = DSIR_N_VALUES,
+    smoothing: float = 1.0,
+    buckets: int | None = None,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """The full DSIR recipe (Xie et al. 2023 §2.3): importance weights →
+    sample ``k`` docs WITHOUT replacement with probability ∝
+    ``exp(logweight / temperature)`` — here via the deterministic
+    Efraimidis-Spirakis draw (``weighted_hash_sample(log_weights=True)``),
+    so the selected corpus is reproducible across reruns, partitionings and
+    cluster sizes. Returns the selected rows of ``docs_df`` with
+    ``dsir_logweight`` and ``sample_score`` attached. ``temperature`` > 1
+    flattens the target pull toward uniform; < 1 sharpens it."""
+    from llm_tab_cleaner_spark.functions.sampling import weighted_hash_sample
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = dsir_log_weights(
+        docs_df, id_col, text_col, target_df,
+        target_text_col=target_text_col, n_values=n_values,
+        smoothing=smoothing, buckets=buckets,
+    ).select(id_col, (F.col("dsir_logweight") / F.lit(float(temperature))).alias("_lw"),
+             "dsir_logweight")
+    chosen = weighted_hash_sample(
+        docs_df.join(w, id_col), id_col, "_lw", k, log_weights=True
+    )
+    return chosen.drop("_lw")

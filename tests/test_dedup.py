@@ -273,11 +273,36 @@ def test_near_dup_keep_one_winner_per_cluster(spark):
 
 
 def test_connected_components_nonconvergence_raises(spark):
+    # distributed path forced (driver_edge_limit=0): a 5-node chain has
+    # diameter 4 and cannot settle in one hash-min round
     pairs = spark.createDataFrame(
         pd.DataFrame({"id_a": [0, 1, 2, 3], "id_b": [1, 2, 3, 4]})
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, "id_a", "id_b", max_iters=1)
+        dedup.connected_components(
+            pairs, "id_a", "id_b", max_iters=1, driver_edge_limit=0
+        )
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find shortcut and the distributed hash-min loop return
+    identical (id, component) labels."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    fast = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs, "id_a", "id_b").collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(
+            pairs, "id_a", "id_b", driver_edge_limit=0
+        ).collect()
+    }
+    assert fast == dist and fast
 
 
 def test_strip_duplicate_paragraphs(spark):

@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 
 from llm_tab_cleaner_spark.functions.sampling import mixture_sample
-from llm_tab_cleaner_spark.operators.selection import dsir_log_weights
+from llm_tab_cleaner_spark.operators.selection import dsir_log_weights, dsir_select
 
 DOCS = [
     (1, "spark runs distributed queries on spark clusters"),
@@ -174,3 +174,57 @@ def test_mixture_sample_validation(spark):
         mixture_sample(df, "source", "doc_id", {"a": 0.0}, 10)
     with pytest.raises(ValueError, match="total_rows"):
         mixture_sample(df, "source", "doc_id", {"a": 1.0}, -1)
+
+
+def test_mixture_sample_size_budget(spark):
+    """size_col mode: budget in size units (tokens); expected sampled size
+    per source ≈ its weighted share of the total budget."""
+    rows = [(i, "a" if i < 100 else "b", 10 if i < 100 else 100) for i in range(200)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tok"])
+    )
+    # budget 1000 tokens, equal weights → 500 per source; a has 1000 total
+    # (rate .5), b has 10000 (rate .05)
+    out = mixture_sample(
+        df, "source", "doc_id", {"a": 1.0, "b": 1.0}, 1000, size_col="n_tok"
+    )
+    got = out.groupBy("source").agg(
+        {"n_tok": "sum", "doc_id": "count"}
+    ).collect()
+    by = {r["source"]: (r["count(doc_id)"], r["sum(n_tok)"]) for r in got}
+    # membership replay: rate_a = 0.5, rate_b = 0.05
+    want = {"a": 0, "b": 0}
+    cnt = {"a": 0, "b": 0}
+    for i, s, t in rows:
+        if _frac(i) < (0.5 if s == "a" else 0.05):
+            want[s] += t
+            cnt[s] += 1
+    assert by["a"] == (cnt["a"], want["a"])
+    assert by.get("b", (0, 0)) == (cnt["b"], want["b"])
+    # both sampled sizes in the neighborhood of the 500-token target
+    assert 200 <= want["a"] <= 800 and 0 <= want["b"] <= 1200
+
+
+def test_dsir_select_end_to_end(spark, frames):
+    """dsir_select = weights -> E-S log-space draw; replayed in Python."""
+    import math
+
+    d, t = frames
+    got = dsir_select(d, "doc_id", "text", t, k=3)
+    rows = got.collect()
+    assert len(rows) == 3
+    assert {"doc_id", "text", "dsir_logweight", "sample_score"} <= set(
+        got.columns
+    )
+    # replay: score = ln(u) * exp(-lw); top-3 by score desc, id tie-break
+    weights = _python_dsir(DOCS, TARGET)
+    scored = sorted(
+        (
+            (math.log(_frac(i)) * math.exp(-w), i)
+            for i, (_n, w) in weights.items()
+        ),
+        key=lambda s: (-s[0], s[1]),
+    )[:3]
+    assert [r["doc_id"] for r in rows] == [i for _s, i in scored]
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_select(d, "doc_id", "text", t, k=3, temperature=0.0)
