@@ -930,6 +930,29 @@ def _q_weighted_sample(spark, sf):
     )
 
 
+def _q_dsir_select(spark, sf):
+    """The full DSIR selection recipe (Xie et al. 2023 §2.3): importance
+    log-weights (target = English docs) → temperature 2.0 → deterministic
+    Efraimidis-Spirakis without-replacement draw of 30 docs. The oracle
+    replays the ENTIRE chain — gram-text weights (unrounded), the md5
+    hash-fraction u, score = ln(u)·e^(−w/T), top-k with doc_id tie-break —
+    so the composition (not just each half) is externally verified.
+    round(4) on the outputs; selection itself uses full doubles on both
+    sides (continuous scores — boundary ties would need ~1e-12 collisions)."""
+    from llm_tab_cleaner_spark.operators.selection import dsir_select
+
+    d = _t(spark, sf, "documents")
+    out = dsir_select(
+        d, "doc_id", "text", d.filter(F.col("lang") == "en"),
+        k=30, temperature=2.0,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round("sample_score", 4).cast("double").alias("sample_score"),
+        F.round("dsir_logweight", 4).cast("double").alias("dsir_logweight"),
+    )
+
+
 def _q_dataset_splits(spark, sf):
     """Deterministic train/val/test assignment from the same hash fraction —
     disjoint + exhaustive by construction; per-split counts oracled."""
@@ -1141,14 +1164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of this dict, so (round-4 ADVICE) the NEWEST oracled queries go INSIDE
     # the recorded window — learned_fuzzy/license_stats/comment_stats
     # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
-    # paragraph_dedup/decontaminate/dsir_weights/mixture_sample (round 5)
-    # sit in the top 50, and the tail holds (a) long-stable queries whose
-    # operators are also covered by other green rows (event_bins ⊂
-    # event_windows/sessions, short_docs ⊂ doc_stats, embedding_norms ⊂
-    # cosine/knn family, dup_pairs_count ⊂ exact_dedup_docs, corr_price_qty
-    # ⊂ corr_matrix, exact_dedup_prefix ~ exact_dedup_docs,
-    # customers_no_orders/parts_in_lineitem = the J1/J2 joins, green since
-    # round 1) and (b) the three model-backed rows-only queries.
+    # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select
+    # (round 5) sit in the top 50, and the tail holds (a) long-stable
+    # queries whose operators are also covered by other green rows
+    # (event_bins ⊂ event_windows/sessions, short_docs ⊂ doc_stats,
+    # embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
+    # exact_dedup_docs, corr_price_qty ⊂ corr_matrix — corr_matrix itself
+    # rotated to the tail in round 5 after three green rounds to make room,
+    # exact_dedup_prefix ~ exact_dedup_docs, customers_no_orders/
+    # parts_in_lineitem = the J1/J2 joins, green since round 1) and (b) the
+    # three model-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1157,10 +1182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "mixture_sample": _q_mixture_sample,
         "weighted_sample": _q_weighted_sample,
+        "dsir_select": _q_dsir_select,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
-        "corr_matrix": _q_corr_matrix,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
         "length_outliers": _q_length_outliers,
@@ -1202,7 +1227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # thirteen below ARE oracled — tools/parity_check.py verifies them ----
+        # fourteen below ARE oracled — tools/parity_check.py verifies them ----
+        "corr_matrix": _q_corr_matrix,
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
         "email_domains": _q_email_domains,
@@ -2012,6 +2038,61 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             ORDER BY sample_score DESC, doc_id
             LIMIT 25
+        """,
+        "dsir_select": f"""
+            -- full DSIR recipe: UNROUNDED weights chain (same CTEs as
+            -- dsir_weights), temperature 2.0, E-S log-space score
+            -- ln(u)*e^(-w/T) with the md5-fraction u, top-30 by score
+            -- (doc_id tie-break). round(4) on outputs only.
+            WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+            g AS (
+              SELECT doc_id, lang,
+                     list_concat(
+                       tk,
+                       list_transform(
+                         generate_series(1, greatest(len(tk) - 1, 0)),
+                         i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+                     ) AS grams
+              FROM toks
+            ),
+            e AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+            raw AS (SELECT gram, count(*) AS cr FROM e GROUP BY gram),
+            tgt AS (SELECT gram, count(*) AS ct FROM e WHERE lang = 'en'
+                    GROUP BY gram),
+            vocab AS (
+              SELECT coalesce(r.gram, t.gram) AS gram,
+                     coalesce(r.cr, 0) AS cr, coalesce(t.ct, 0) AS ct
+              FROM raw r FULL JOIN tgt t ON r.gram = t.gram
+            ),
+            tot AS (SELECT count(*) AS v, sum(cr) AS tr, sum(ct) AS tt
+                    FROM vocab),
+            lr AS (
+              SELECT gram,
+                     (ln(ct + 1.0) - ln(tt + 1.0 * v))
+                     - (ln(cr + 1.0) - ln(tr + 1.0 * v)) AS lr
+              FROM vocab, tot
+            ),
+            pd AS (
+              SELECT e.doc_id, sum(lr.lr) AS w
+              FROM e JOIN lr USING (gram) GROUP BY e.doc_id
+            ),
+            sel AS (
+              SELECT d.doc_id, coalesce(pd.w, 0.0) AS w
+              FROM documents d LEFT JOIN pd USING (doc_id)
+            ),
+            s AS (
+              SELECT doc_id, w,
+                     ln(CAST(('0x' || substr(md5('v:' || doc_id::VARCHAR), 1, 8))
+                             AS UBIGINT) / 4294967296.0)
+                     * exp(-(w / 2.0)) AS score
+              FROM sel
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(round(score, 4) AS DOUBLE) AS sample_score,
+                   CAST(round(w, 4) AS DOUBLE) AS dsir_logweight
+            FROM s
+            ORDER BY score DESC, doc_id
+            LIMIT 30
         """,
         "dataset_splits": """
             WITH f AS (

@@ -16,6 +16,7 @@ SUBSET = [
     "cosine_topk", "embedding_near_dup", "doc_stats", "rules_tabular",
     "lsh_topk", "ivf_assign", "keyword_langid", "dataset_splits",
     "learned_patterns", "learned_fuzzy", "license_stats", "comment_stats",
+    "dsir_select", "dedup_clusters",
 ]
 
 
