@@ -953,6 +953,44 @@ def _q_dsir_select(spark, sf):
     )
 
 
+def _q_shard_pack(spark, sf):
+    """Deterministic token-budget shard assignment (operators/packing.py):
+    exact global prefix sum of n_chars in (md5-fraction, doc_id) order via
+    the two-level bucket scheme, then shard = tok_start DIV 65536. The
+    oracle replays the layout with a plain global window cumsum — same
+    order ⇒ identical offsets — so the distributed two-level plan is
+    verified against the sequential definition. All-bigint outputs: exact
+    hash match, no rounding."""
+    from llm_tab_cleaner_spark.operators.packing import pack_shards
+
+    d = _t(spark, sf, "documents")
+    out = pack_shards(d, "doc_id", "n_chars", 65536)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "tok_start",
+        "shard_id",
+        "shard_off",
+    )
+
+
+def _q_sequence_pack(spark, sf):
+    """GPT-style fixed-length sequence packing: corpus concatenated in the
+    deterministic global order, cut every 2048 tokens, docs split across
+    cuts — one row per (doc, sequence) segment. Oracle replays cut points
+    with generate_series over the same window cumsum. All-bigint outputs."""
+    from llm_tab_cleaner_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    out = pack_sequences(d, "doc_id", "n_chars", 2048)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "seq_id",
+        "seq_off",
+        "doc_off",
+        "seg_len",
+    )
+
+
 def _q_dataset_splits(spark, sf):
     """Deterministic train/val/test assignment from the same hash fraction —
     disjoint + exhaustive by construction; per-split counts oracled."""
@@ -1164,16 +1202,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of this dict, so (round-4 ADVICE) the NEWEST oracled queries go INSIDE
     # the recorded window — learned_fuzzy/license_stats/comment_stats
     # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
-    # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select
-    # (round 5) sit in the top 50, and the tail holds (a) long-stable
-    # queries whose operators are also covered by other green rows
-    # (event_bins ⊂ event_windows/sessions, short_docs ⊂ doc_stats,
-    # embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
-    # exact_dedup_docs, corr_price_qty ⊂ corr_matrix — corr_matrix itself
-    # rotated to the tail in round 5 after three green rounds to make room,
-    # exact_dedup_prefix ~ exact_dedup_docs, customers_no_orders/
-    # parts_in_lineitem = the J1/J2 joins, green since round 1) and (b) the
-    # three model-backed rows-only queries.
+    # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select/
+    # shard_pack/sequence_pack (round 5) sit in the top 50, and the tail
+    # holds (a) long-stable queries whose operators are also covered by
+    # other green rows (event_bins ⊂ event_windows/sessions, short_docs ⊂
+    # doc_stats, embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
+    # exact_dedup_docs, corr_price_qty ⊂ corr_matrix, exact_dedup_prefix ~
+    # exact_dedup_docs, customers_no_orders/parts_in_lineitem = the J1/J2
+    # joins, green since round 1; rotated out in round 5 after ≥3 green
+    # rounds each: corr_matrix, calibration_bins ⊂ calibration_metrics'
+    # replayed chain, fk_lineitem_orders ⊂ fk_sweep) and (b) the three
+    # model-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1183,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "weighted_sample": _q_weighted_sample,
         "dsir_select": _q_dsir_select,
+        "shard_pack": _q_shard_pack,
+        "sequence_pack": _q_sequence_pack,
         "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
@@ -1192,8 +1233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
         "rare_brands": _q_rare_brands,
-        "calibration_bins": _q_calibration_bins,
-        "fk_lineitem_orders": _q_fk_lineitem_orders,
         "doc_stats": _q_doc_stats,
         "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
@@ -1227,8 +1266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # fourteen below ARE oracled — tools/parity_check.py verifies them ----
+        # sixteen below ARE oracled — tools/parity_check.py verifies them ----
         "corr_matrix": _q_corr_matrix,
+        "calibration_bins": _q_calibration_bins,
+        "fk_lineitem_orders": _q_fk_lineitem_orders,
         "customers_no_orders": _q_customers_no_orders,
         "parts_in_lineitem": _q_parts_in_lineitem,
         "email_domains": _q_email_domains,
@@ -2093,6 +2134,64 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             ORDER BY score DESC, doc_id
             LIMIT 30
+        """,
+        "shard_pack": """
+            -- the distributed two-level prefix sum vs the sequential
+            -- definition: concat in (md5-fraction, doc_id) order, exclusive
+            -- cumsum, shard = tok_start // 65536. All bigint — exact match.
+            WITH t AS (
+              SELECT doc_id, greatest(coalesce(n_chars, 0), 0) AS tok,
+                     CAST(('0x' || substr(md5('v:' || doc_id::VARCHAR), 1, 8))
+                          AS UBIGINT) / 4294967296.0 AS frac
+              FROM documents
+            ), o AS (
+              SELECT doc_id, tok,
+                     coalesce(sum(tok) OVER (
+                       ORDER BY frac, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS tok_start
+              FROM t
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_start // 65536 AS BIGINT) AS shard_id,
+                   CAST(tok_start % 65536 AS BIGINT) AS shard_off
+            FROM o
+        """,
+        "sequence_pack": """
+            -- GPT-style packing cut points replayed with generate_series
+            -- over the same global cumsum; one row per (doc, sequence)
+            -- segment. All bigint — exact match.
+            WITH t AS (
+              SELECT doc_id, greatest(coalesce(n_chars, 0), 0) AS tok,
+                     CAST(('0x' || substr(md5('v:' || doc_id::VARCHAR), 1, 8))
+                          AS UBIGINT) / 4294967296.0 AS frac
+              FROM documents
+            ), o AS (
+              SELECT doc_id, tok,
+                     coalesce(sum(tok) OVER (
+                       ORDER BY frac, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS tok_start
+              FROM t
+            ), seg AS (
+              SELECT doc_id, tok, tok_start,
+                     unnest(generate_series(
+                       CAST(tok_start // 2048 AS BIGINT),
+                       CAST((tok_start + tok - 1) // 2048 AS BIGINT)))
+                     AS seq_id
+              FROM o WHERE tok > 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(greatest(tok_start, seq_id * 2048) - seq_id * 2048
+                        AS BIGINT) AS seq_off,
+                   CAST(greatest(tok_start, seq_id * 2048) - tok_start
+                        AS BIGINT) AS doc_off,
+                   CAST(least(tok_start + tok, (seq_id + 1) * 2048)
+                        - greatest(tok_start, seq_id * 2048)
+                        AS BIGINT) AS seg_len
+            FROM seg
         """,
         "dataset_splits": """
             WITH f AS (

@@ -1,0 +1,176 @@
+"""Deterministic token-budget packing of a corpus into shards & sequences.
+
+The last step of every pretraining data pipeline: the cleaned, deduped,
+selected corpus must be laid out as (a) SHARDS — files of ≈ N tokens each
+that trainers stream — and (b) fixed-length SEQUENCES — context windows of
+exactly L tokens, with documents concatenated and split across window
+boundaries (GPT-style packing; public: Brown et al. 2020 §2.1 pack
+documents into 1024-token contexts; T5/Raffel et al. 2020 §2.2 likewise).
+The reference has no counterpart (its unit is a table row); this family is
+beyond-reference surface for the 100 TB training-data use case.
+
+The hard part at scale is the GLOBAL ORDER: packing needs a total order
+over documents and a running token offset, but a naive
+``Window.orderBy(...)`` over the whole corpus is a single-partition sort —
+the canonical Spark scaling bug. This module computes exact global offsets
+with the standard two-level prefix sum:
+
+1. each doc gets a deterministic position key — the md5 hash fraction of
+   its id (``functions/sampling.py:hash_fraction``, the same fraction the
+   sampling/split family oracles) — so the order is reproducible across
+   partitionings, cluster sizes and reruns, and is itself a uniform
+   shuffle of the corpus (good: packing correlated neighbors into the
+   same training sequence is exactly what curriculum papers warn about);
+2. docs are range-bucketed by ``floor(frac · B)`` (monotone in the key →
+   bucket order = global order); per-bucket token totals are ONE tiny
+   aggregation (B rows);
+3. the exclusive prefix over bucket totals is a window over those B rows
+   (constant work, independent of corpus size), broadcast-joined back;
+4. within each bucket a window cumsum ordered by (frac, id) adds the
+   local offset — B independent window partitions, each ~1/B of the
+   corpus, so the sort parallelism scales with B (default 1024).
+
+Every offset is a function of the input VALUES only — two runs at any
+parallelism produce byte-identical layouts, and the DuckDB oracle replays
+the whole chain with a plain global window cumsum (same order ⇒ same
+offsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_tab_cleaner_spark.functions.sampling import hash_fraction
+
+#: Default range-bucket count for the two-level prefix sum. Sets the sort
+#: parallelism of step 4 — at 100 TB raise it to ~4× the executor-core
+#: count so each per-bucket window sort stays memory-resident.
+DEFAULT_OFFSET_BUCKETS = 1024
+
+
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    buckets: int = DEFAULT_OFFSET_BUCKETS,
+) -> DataFrame:
+    """``df`` + ``tok_start`` (bigint): the exact global exclusive prefix
+    sum of ``tokens_col`` in the deterministic (hash_fraction(id), id)
+    order — i.e. the position of the doc's first token if the whole corpus
+    were concatenated in that order. Null and negative token counts pack
+    as 0 (the doc keeps a position but occupies no tokens — a negative
+    budget is nonsensical and clamping keeps offsets monotone; validation
+    can't run at plan-build time on a lazy column).
+
+    Scale shape (see module docstring): one B-row aggregation + one B-row
+    window + one broadcast join + one window cumsum with B independent
+    partitions. No global sort, no single-partition window, shuffle
+    payload = (bucket, frac, id, tokens)."""
+    if buckets <= 0:
+        raise ValueError(f"buckets must be > 0, got {buckets}")
+    tok = F.greatest(
+        F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0)), F.lit(0)
+    )
+    frac = hash_fraction(F.col(id_col))
+    bucket = F.least(
+        F.floor(frac * F.lit(float(buckets))).cast("int"),
+        F.lit(buckets - 1),
+    )
+    d = df.withColumn("_frac", frac).withColumn("_bucket", bucket)
+    totals = d.groupBy("_bucket").agg(F.sum(tok).alias("_btok"))
+    bw = (
+        Window.orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_btok").over(bw), F.lit(0)).alias("_bstart"),
+    )
+    lw = (
+        Window.partitionBy("_bucket")
+        .orderBy("_frac", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.join(F.broadcast(prefix), "_bucket")
+        .withColumn(
+            "tok_start",
+            (F.col("_bstart") + F.coalesce(F.sum(tok).over(lw), F.lit(0)))
+            .cast("bigint"),
+        )
+        .drop("_frac", "_bucket", "_bstart")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    shard_tokens: int,
+    buckets: int = DEFAULT_OFFSET_BUCKETS,
+) -> DataFrame:
+    """Assign every doc (kept WHOLE) to a training shard of ≈
+    ``shard_tokens`` tokens: ``shard_id = tok_start DIV shard_tokens``,
+    ``shard_off = tok_start MOD shard_tokens`` (the doc's token offset
+    within its shard). A doc whose tokens straddle the budget boundary
+    belongs to the shard its FIRST token falls in (first-fit in the fixed
+    global order — shards overflow by at most one doc, the standard
+    doc-preserving layout). Downstream, ``df.repartition(shard_id)`` or a
+    partitioned parquet write materializes the shards; the assignment
+    itself adds no shuffle beyond global_token_offsets'."""
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be > 0, got {shard_tokens}")
+    out = global_token_offsets(df, id_col, tokens_col, buckets=buckets)
+    shard = (F.col("tok_start") - F.col("tok_start") % shard_tokens) / F.lit(
+        shard_tokens
+    )
+    return out.withColumn("shard_id", shard.cast("bigint")).withColumn(
+        "shard_off", (F.col("tok_start") % shard_tokens).cast("bigint")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    buckets: int = DEFAULT_OFFSET_BUCKETS,
+) -> DataFrame:
+    """GPT-style fixed-length sequence packing: concatenate the corpus in
+    the deterministic global order and cut every ``seq_len`` tokens;
+    documents SPLIT across cuts. One output row per (doc, sequence)
+    segment: ``seq_id``, ``seq_off`` (segment start within the sequence),
+    ``doc_off`` (segment start within the doc), ``seg_len``. Invariants
+    (pytest-asserted): per-doc ``sum(seg_len) = tokens``; per-sequence
+    ``sum(seg_len) = seq_len`` for every sequence except the last; segments
+    tile both the doc and the sequence with no gaps or overlaps.
+
+    Zero-token docs produce no segments (nothing to emit). The explode is
+    a single native ``sequence()`` generator — a doc of T tokens yields
+    ``⌈…⌉ ≈ T/seq_len + 1`` rows, so output size is corpus_tokens/seq_len
+    + n_docs rows: linear, no blow-up, no Python."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    out = global_token_offsets(df, id_col, tokens_col, buckets=buckets)
+    tok = F.greatest(
+        F.coalesce(F.col(tokens_col).cast("bigint"), F.lit(0)), F.lit(0)
+    )
+    start = F.col("tok_start")
+    end = start + tok
+    first_seq = (start - start % seq_len) / F.lit(seq_len)
+    last_seq = ((end - 1) - (end - 1) % seq_len) / F.lit(seq_len)
+    seg = out.filter(tok > 0).withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(first_seq.cast("bigint"), last_seq.cast("bigint"))
+        ),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    g_start = F.greatest(start, seq_start)
+    g_end = F.least(end, seq_start + seq_len)
+    return (
+        seg.withColumn("seq_off", (g_start - seq_start).cast("bigint"))
+        .withColumn("doc_off", (g_start - start).cast("bigint"))
+        .withColumn("seg_len", (g_end - g_start).cast("bigint"))
+    )

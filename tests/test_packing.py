@@ -1,0 +1,138 @@
+"""Token-budget packing (operators/packing.py): exact deterministic global
+offsets, shard assignment, fixed-length sequence packing. Every property is
+checked against a straight-line Python replay of the published semantics
+(concatenate in (md5-fraction, id) order, cut every N/L tokens)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.operators.packing import (
+    global_token_offsets,
+    pack_sequences,
+    pack_shards,
+)
+
+
+def _frac(key) -> float:
+    return int(hashlib.md5(f"v:{key}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+def _rows(n=60, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    # token counts include 0, 1, null, and multi-sequence sizes
+    toks = [0, 1, None, 5000, 2048] + [rng.randrange(0, 900) for _ in range(n - 5)]
+    return [(i, toks[i]) for i in range(n)]
+
+
+def _py_offsets(rows):
+    """Replay: exclusive prefix sum in (frac, id) order; null/neg -> 0."""
+    order = sorted(rows, key=lambda r: (_frac(r[0]), r[0]))
+    out, acc = {}, 0
+    for i, t in order:
+        out[i] = acc
+        acc += max(t or 0, 0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(_rows(), columns=["doc_id", "n_tok"]).astype(
+            {"n_tok": "Int64"}
+        )
+    )
+    return df
+
+
+def test_global_offsets_match_replay(spark, docs):
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in global_token_offsets(docs, "doc_id", "n_tok").collect()
+    }
+    assert got == _py_offsets(_rows())
+
+
+def test_global_offsets_partition_invariant(spark, docs):
+    """Same offsets at 1 partition, 7 partitions, and a hostile pre-order —
+    the layout is a function of values only (the 100 TB determinism
+    contract; df.sample-style position dependence is exactly what this
+    module exists to avoid)."""
+    base = {
+        (r["doc_id"], r["tok_start"])
+        for r in global_token_offsets(docs, "doc_id", "n_tok").collect()
+    }
+    for variant in (
+        docs.coalesce(1),
+        docs.repartition(7, "n_tok"),
+        docs.orderBy("n_tok"),
+    ):
+        got = {
+            (r["doc_id"], r["tok_start"])
+            for r in global_token_offsets(variant, "doc_id", "n_tok").collect()
+        }
+        assert got == base
+    # bucket count changes the PLAN, never the layout
+    few = {
+        (r["doc_id"], r["tok_start"])
+        for r in global_token_offsets(
+            docs, "doc_id", "n_tok", buckets=2
+        ).collect()
+    }
+    assert few == base
+
+
+def test_pack_shards_replay(spark, docs):
+    shard_tokens = 4096
+    got = pack_shards(docs, "doc_id", "n_tok", shard_tokens).collect()
+    offs = _py_offsets(_rows())
+    for r in got:
+        start = offs[r["doc_id"]]
+        assert r["tok_start"] == start
+        assert r["shard_id"] == start // shard_tokens
+        assert r["shard_off"] == start % shard_tokens
+    assert len(got) == len(_rows())  # doc-preserving: every doc assigned
+    with pytest.raises(ValueError, match="shard_tokens"):
+        pack_shards(docs, "doc_id", "n_tok", 0)
+
+
+def test_pack_sequences_tiling(spark, docs):
+    """Segments tile both each doc and each sequence exactly: per-doc
+    sum(seg_len) = tokens; per-sequence sum(seg_len) = seq_len except the
+    last; no gaps/overlaps (checked via the Python replay of cut points)."""
+    L = 512
+    seg = pack_sequences(docs, "doc_id", "n_tok", L).collect()
+    offs = _py_offsets(_rows())
+    toks = {i: max(t or 0, 0) for i, t in _rows()}
+    total = sum(toks.values())
+
+    by_doc: dict = {}
+    by_seq: dict = {}
+    for r in seg:
+        start, tok = offs[r["doc_id"]], toks[r["doc_id"]]
+        # segment bounds replayed exactly
+        g_start = max(start, r["seq_id"] * L)
+        assert r["seq_off"] == g_start - r["seq_id"] * L
+        assert r["doc_off"] == g_start - start
+        assert r["seg_len"] == min(start + tok, (r["seq_id"] + 1) * L) - g_start
+        assert 1 <= r["seg_len"] <= min(L, tok)
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["seg_len"]
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["seg_len"]
+
+    assert by_doc == {i: t for i, t in toks.items() if t > 0}
+    last = total // L  # id of the (possibly partial) final sequence
+    for sid, n in by_seq.items():
+        assert n == (L if sid < last else total - last * L)
+    assert set(by_seq) == set(range(last + (1 if total % L else 0)))
+
+
+def test_pack_sequences_validation(spark, docs):
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, "doc_id", "n_tok", -1)
+    with pytest.raises(ValueError, match="buckets"):
+        global_token_offsets(docs, "doc_id", "n_tok", buckets=0)
