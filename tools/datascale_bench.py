@@ -127,10 +127,29 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    def q_shard_pack(df):
+        from llm_tab_cleaner_spark.operators.packing import pack_shards
+
+        pack_shards(
+            df.withColumn("n_tok", F.length("text")), "doc_id", "n_tok", 65536
+        ).drop("text").write.format("noop").mode("overwrite").save()
+
+    def q_sequence_pack(df):
+        from llm_tab_cleaner_spark.operators.packing import pack_sequences
+
+        pack_sequences(
+            df.withColumn("n_tok", F.length("text")), "doc_id", "n_tok", 2048
+        ).drop("text").write.format("noop").mode("overwrite").save()
+
+    all_ops = [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
+               ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
+               ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam),
+               ("shard_pack", q_shard_pack), ("sequence_pack", q_sequence_pack)]
+    only = set(sys.argv[2:])
+    if only:
+        all_ops = [(n, q) for n, q in all_ops if n in only]
     out = {"sf_dir": sf_dir, "cpus": cpus, "n_1x": n1, "n_5x": n1 * SCALE, "ops": {}}
-    for name, q in [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
-                    ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
-                    ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam)]:
+    for name, q in all_ops:
         q(d1)
         q(dN)  # warm both plan shapes
         legs: dict[str, list[tuple[float, float]]] = {"1x": [], "5x": []}
