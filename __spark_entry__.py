@@ -714,6 +714,42 @@ def _q_comment_stats(spark, sf):
     )
 
 
+def _q_import_stats(spark, sf):
+    """Import/dependency extraction (functions/code_imports.py) over
+    synthesized per-language code rows: language by c_custkey % 5, one
+    fixed + one varying (c_custkey % 3) import per file. The oracle replays
+    the SAME extraction regexes in DuckDB RE2 (tri-dialect contract) plus
+    the root-segment split and the (lang, root) aggregation — a genuine
+    twin of the transform, like comment_stats."""
+    from llm_tab_cleaner_spark.functions.code_imports import import_stats
+
+    c = _t(spark, sf, "customer")
+    k = F.col("c_custkey") % 5
+    m = (F.col("c_custkey") % 3).cast("string")
+    content = (
+        F.when(k == 0, F.concat(F.lit("import os\nfrom pkg"), m, F.lit(".sub import x\n")))
+        .when(k == 1, F.concat(F.lit("const a = require('lib"), m, F.lit("/core');\nimport z from 'react';\n")))
+        .when(k == 2, F.concat(F.lit("#include <stdio.h>\n#include \"lib"), m, F.lit("/util.h\"\n")))
+        .when(k == 3, F.concat(F.lit("import java.util.List;\nimport com.ex"), m, F.lit(".App;\n")))
+        .otherwise(F.concat(F.lit("import \"fmt\"\nimport \"github.com/u/lib"), m, F.lit("\"\n")))
+    )
+    lang = (
+        F.when(k == 0, F.lit("python"))
+        .when(k == 1, F.lit("javascript"))
+        .when(k == 2, F.lit("c"))
+        .when(k == 3, F.lit("java"))
+        .otherwise(F.lit("go"))
+    )
+    d = c.select(content.alias("content"), lang.alias("lang"))
+    out = import_stats(d, "content", "lang")
+    return out.select(
+        "lang",
+        "module_root",
+        F.col("n_imports").cast("bigint").alias("n_imports"),
+        F.col("n_files").cast("bigint").alias("n_files"),
+    )
+
+
 def _q_pipeline_corpus_gate(spark, sf):
     """The pipeline's combined opt-in corpus path (X21+X22 as
     PipelineConfig stages, round-4 VERDICT #5): license gate + comment-ratio
@@ -802,6 +838,28 @@ def _q_decontaminate(spark, sf):
         "doc_id",
         F.col("n_matching_grams").cast("bigint").alias("n_matching_grams"),
         "contaminated",
+    )
+
+
+def _q_winnow_pairs(spark, sf):
+    """MOSS winnowing fingerprints (Schleimer et al. 2003) over documents:
+    char-20-gram poly hashes (base 257 mod 2^31-1 over code points — exact
+    in BIGINT on both engines), window-16 rightmost-min selection, then all
+    pairs sharing >= 2 fingerprints with the containment overlap. k=20 so a
+    gram spans ~3 words of the word-bag corpus; the guarantee covers shared
+    substrings >= k+w-1 = 35 chars. The oracle replays hashing, selection
+    (tie-break via one BIGINT key whose min is (h asc, pos desc)) and the
+    pair join value-for-value."""
+    from llm_tab_cleaner_spark.operators.fingerprint import winnow_overlap_pairs
+
+    d = _t(spark, sf, "documents")
+    return winnow_overlap_pairs(
+        d, "doc_id", "text", k=20, window=16, min_shared=2
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.col("overlap").cast("double").alias("overlap"),
     )
 
 
@@ -1203,7 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recorded window — learned_fuzzy/license_stats/comment_stats
     # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
     # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select/
-    # shard_pack/sequence_pack (round 5) sit in the top 50, and the tail
+    # shard_pack/sequence_pack/winnow_pairs/import_stats (round 5) sit in
+    # the top 50, and the tail
     # holds (a) long-stable queries whose operators are also covered by
     # other green rows (event_bins ⊂ event_windows/sessions, short_docs ⊂
     # doc_stats, embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
@@ -1211,20 +1270,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact_dedup_docs, customers_no_orders/parts_in_lineitem = the J1/J2
     # joins, green since round 1; rotated out in round 5 after ≥3 green
     # rounds each: corr_matrix, calibration_bins ⊂ calibration_metrics'
-    # replayed chain, fk_lineitem_orders ⊂ fk_sweep) and (b) the three
-    # model-backed rows-only queries.
+    # replayed chain, fk_lineitem_orders ⊂ fk_sweep; top_customers —
+    # TPC-style topk/join covered by token_topk + region_revenue in head —
+    # rotated out when winnow_pairs landed; event_windows ⊂ event_sessions
+    # + the streaming window twins — rotated out when import_stats landed)
+    # and (b) the three model-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
         "region_revenue": _q_region_revenue,
-        "top_customers": _q_top_customers,
+        "winnow_pairs": _q_winnow_pairs,
         "dsir_weights": _q_dsir_weights,
         "mixture_sample": _q_mixture_sample,
         "weighted_sample": _q_weighted_sample,
         "dsir_select": _q_dsir_select,
         "shard_pack": _q_shard_pack,
         "sequence_pack": _q_sequence_pack,
-        "event_windows": _q_event_windows,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
         "profile_orders": _q_profile_orders,
@@ -1260,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learned_fuzzy": _q_learned_fuzzy,
         "license_stats": _q_license_stats,
         "comment_stats": _q_comment_stats,
+        "import_stats": _q_import_stats,
         "pipeline_corpus_gate": _q_pipeline_corpus_gate,
         "dedup_clusters": _q_dedup_clusters,
         "repetition_stats": _q_repetition_stats,
@@ -1278,6 +1340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_length_stats": _q_string_length_stats,
         "topk_parts": _q_topk_parts,
         "event_bins": _q_event_bins,
+        "event_windows": _q_event_windows,
+        "top_customers": _q_top_customers,
         "short_docs": _q_short_docs,
         "embedding_norms": _q_embedding_norms,
         "dup_pairs_count": _q_dup_pairs_count,
@@ -1349,6 +1413,79 @@ def _lsh_topk_sql() -> str:
 
 
 _LSH_TOPK_SQL = _lsh_topk_sql()
+
+
+def _import_stats_sql() -> str:
+    """Replays _q_import_stats end-to-end in DuckDB: same content/lang
+    synthesis, the EXACT extraction regex strings (imported from
+    functions/code_imports.py — one source of truth, the tri-dialect
+    contract), root-segment split, (lang, root) counts with distinct
+    importing files."""
+    from llm_tab_cleaner_spark.functions.code_imports import (
+        _DOTTED,
+        IMPORT_PATTERNS,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    branches = []
+    for lang, passes in IMPORT_PATTERNS.items():
+        parts = [
+            f"regexp_extract_all(content, '{q(p)}', {g})" for p, g in passes
+        ]
+        expr = parts[0] if len(parts) == 1 else (
+            "flatten([" + ", ".join(parts) + "])"
+        )
+        branches.append(f"WHEN '{lang}' THEN {expr}")
+    case_ext = (
+        "CASE lang " + " ".join(branches) + " ELSE CAST([] AS VARCHAR[]) END"
+    )
+    dotted = ", ".join(f"'{x}'" for x in sorted(_DOTTED))
+    return f"""
+        WITH f AS (
+          SELECT c_custkey AS fid, c_custkey % 5 AS k,
+                 CAST(c_custkey % 3 AS VARCHAR) AS m
+          FROM customer
+        ),
+        src AS (
+          SELECT fid,
+            CASE k WHEN 0 THEN 'python' WHEN 1 THEN 'javascript'
+                   WHEN 2 THEN 'c' WHEN 3 THEN 'java' ELSE 'go' END AS lang,
+            CASE k
+              WHEN 0 THEN 'import os' || chr(10) ||
+                          'from pkg' || m || '.sub import x' || chr(10)
+              WHEN 1 THEN 'const a = require(''lib' || m || '/core'');' ||
+                          chr(10) || 'import z from ''react'';' || chr(10)
+              WHEN 2 THEN '#include <stdio.h>' || chr(10) ||
+                          '#include "lib' || m || '/util.h"' || chr(10)
+              WHEN 3 THEN 'import java.util.List;' || chr(10) ||
+                          'import com.ex' || m || '.App;' || chr(10)
+              ELSE 'import "fmt"' || chr(10) ||
+                   'import "github.com/u/lib' || m || '"' || chr(10)
+            END AS content
+          FROM f
+        ),
+        ext AS (
+          SELECT fid, lang, u.module
+          FROM src, unnest({case_ext}) AS u(module)
+        ),
+        roots AS (
+          SELECT fid, lang,
+                 CASE WHEN lang IN ({dotted})
+                      THEN string_split_regex(module, '[.]')[1]
+                      ELSE string_split_regex(module, '[/]')[1]
+                 END AS module_root
+          FROM ext
+        )
+        SELECT lang, module_root,
+               CAST(count(*) AS BIGINT) AS n_imports,
+               CAST(count(DISTINCT fid) AS BIGINT) AS n_files
+        FROM roots GROUP BY lang, module_root
+    """
+
+
+_IMPORT_STATS_SQL = _import_stats_sql()
 
 # ONE source of truth for the rules_tabular synthesized-branch table: both
 # the rules_tabular oracle and the learned_patterns oracle select from this
@@ -1990,6 +2127,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_files
             FROM s GROUP BY lang
         """,
+        "import_stats": _IMPORT_STATS_SQL,
         "pipeline_corpus_gate": _PIPELINE_CORPUS_GATE_SQL,
         "keyword_langid": _KEYWORD_LANGID_SQL,
         "deterministic_sample": """
@@ -2284,6 +2422,60 @@ def oracle_sql() -> dict[str, str]:
             WITH {_NGRAM_PAIRS_CTE}
             SELECT id_a, id_b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
             FROM inter WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.2
+        """,
+        "winnow_pairs": """
+            -- replays operators/fingerprint.py value-for-value: poly hash
+            -- base 257 mod 2^31-1 over CODE POINTS (unicode(substr) ==
+            -- utf-32 kernel codes), window-16 min with rightmost tie-break
+            -- via one BIGINT key (min over h*2^31 + (2^31-1-i) sorts
+            -- (h asc, i desc)), short docs = one truncated window (the
+            -- frame clips at the partition end; only i=1 kept), DISTINCT
+            -- selected hashes, pairs sharing >= 2, containment overlap.
+            WITH pos AS (
+              SELECT doc_id, text, len(text) - 20 + 1 AS n
+              FROM documents WHERE len(text) >= 20
+            ),
+            g AS (
+              SELECT doc_id, i, n,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(0, 19),
+                      j -> CAST(unicode(substr(text, i + j, 1)) AS BIGINT))),
+                  (a, b) -> (a * 257 + b) % 2147483647) AS h
+              FROM pos, unnest(generate_series(1, n)) AS t(i)
+            ),
+            enc AS (
+              SELECT doc_id, i, n,
+                     h * 2147483648 + (2147483647 - i) AS key
+              FROM g
+            ),
+            selw AS (
+              SELECT doc_id, i, n,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mkey
+              FROM enc
+            ),
+            fp AS (
+              SELECT DISTINCT doc_id, CAST(mkey // 2147483648 AS BIGINT) AS h
+              FROM selw WHERE i <= greatest(n - 16 + 1, 1)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+            dfreq AS (SELECT h, count(*) AS fp_df FROM fp GROUP BY h),
+            kept AS (
+              SELECT f.doc_id, f.h FROM fp f JOIN dfreq USING (h)
+              WHERE fp_df <= 1000
+            ),
+            shared AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_shared
+              FROM kept x JOIN kept y USING (h) WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(n_shared AS BIGINT) AS n_shared,
+                   CAST(round(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 4) AS DOUBLE) AS overlap
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
         """,
         "dedup_clusters": f"""
             -- transitive closure over the SAME pair CTE ngram_jaccard uses:

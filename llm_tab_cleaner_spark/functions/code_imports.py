@@ -1,0 +1,128 @@
+"""Import / dependency extraction for code corpora — fully native.
+
+Beyond the reference's inventory (SURVEY §2.9): large-scale code pipelines
+extract per-file import statements to (a) build dependency-frequency
+tables (which packages does the corpus actually exercise — the signal
+behind "keep files using real APIs" quality rules), (b) group files by
+ecosystem for per-language mixture budgets, and (c) detect vendored /
+generated bundles (one file importing hundreds of modules).  The reference
+(llm-tab-cleaner) has no counterpart — its unit is a tabular cell.
+
+Extraction is pure ``regexp_extract_all`` in the common Java/RE2/Python
+dialect (``(?m)`` multiline anchors, no lookaround, single capture group
+per pattern — RE2 forbids lookaround and DuckDB replays the exact same
+strings), so the DuckDB oracle and fixture side match byte-for-byte —
+the same tri-dialect contract as ``functions/pii.py`` (CLAUDE.md).
+
+HEURISTIC, by design: a regex cannot know an ``import`` line sits inside a
+string literal or a doc comment — the standard approximation (the same one
+``functions/code_comments.py`` documents).
+
+Scale shape: per-row projection (regex passes) + explode + groupBy count —
+one shuffle keyed on (lang, module root); module names are short strings
+with Zipfian frequency, but the aggregation is map-side-combined so hot
+modules cost one partial row per task, not a hot shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: language → ordered (pattern, group) extraction passes. One capture
+#: group per pattern keeps regexp_extract_all portable across all three
+#: dialects.  Python's ``import a.b, c`` first-module-only is documented:
+#: multi-import lines count their FIRST module (the common case in corpus
+#: stats; full parsing is a tokenizer's job, not a regex's).
+IMPORT_PATTERNS: dict[str, tuple[tuple[str, int], ...]] = {
+    "python": (
+        (r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)", 1),
+        (r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import", 1),
+    ),
+    "javascript": (
+        (r"""require\([ \t]*['"]([^'"\n]+)['"]""", 1),
+        (r"""(?m)^[ \t]*import[^\n]*?from[ \t]*['"]([^'"\n]+)['"]""", 1),
+        (r"""(?m)^[ \t]*import[ \t]*['"]([^'"\n]+)['"]""", 1),
+    ),
+    "c": ((r"""(?m)^[ \t]*#[ \t]*include[ \t]*[<"]([^>"\n]+)[>"]""", 1),),
+    "java": ((r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;", 1),),
+    "go": ((r'(?m)^[ \t]*import[ \t]+(?:[A-Za-z_.]+[ \t]+)?"([^"\n]+)"', 1),),
+}
+
+#: languages whose imports are dotted paths → root = first '.' segment;
+#: path-style languages (js require './x', c includes 'a/b.h') root on '/'
+_DOTTED = {"python", "java"}
+
+
+def import_modules_expr(content: Column, language: str) -> Column:
+    """array<string> of raw imported module names found in ``content``
+    under ``language``'s patterns (document order per pattern, patterns
+    concatenated; unknown language → empty array)."""
+    passes = IMPORT_PATTERNS.get(language, ())
+    if not passes:
+        return F.array().cast("array<string>")
+    arrays = [F.regexp_extract_all(content, F.lit(p), g) for p, g in passes]
+    out = arrays[0]
+    for a in arrays[1:]:
+        out = F.concat(out, a)
+    return out
+
+
+def extract_imports(
+    df: DataFrame,
+    content_col: str,
+    lang_col: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """One row per (file, import): ``id_cols`` + ``lang`` + ``module``
+    (raw) + ``module_root`` (first path/dot segment — the package-level
+    name corpus stats aggregate on).  ``lang_col`` values are matched
+    case-insensitively against IMPORT_PATTERNS keys; files of unknown
+    languages contribute no rows."""
+    ids = id_cols if id_cols is not None else []
+    lang = F.lower(F.col(lang_col))
+    mods: Column | None = None
+    for language in IMPORT_PATTERNS:
+        arr = import_modules_expr(F.col(content_col), language)
+        mods = F.when(lang == language, arr) if mods is None else mods.when(
+            lang == language, arr
+        )
+    mods = mods.otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        *ids, lang.alias("lang"), F.explode(mods).alias("module")
+    )
+    dotted_root = F.split(F.col("module"), "[.]").getItem(0)
+    path_root = F.split(F.col("module"), "[/]").getItem(0)
+    return exploded.withColumn(
+        "module_root",
+        F.when(F.col("lang").isin(*sorted(_DOTTED)), dotted_root).otherwise(
+            path_root
+        ),
+    )
+
+
+def import_stats(
+    df: DataFrame,
+    content_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """Corpus dependency-frequency table: (lang, module_root, n_imports,
+    n_files) — total import statements and distinct importing files per
+    package root.  One map-side-combined aggregation; the distinct-file
+    count rides a per-partition pre-distinct (Spark's partial aggregate
+    handles it) keyed on the same (lang, root) as the main count."""
+    imp = extract_imports(
+        df.select(content_col, lang_col).withColumn(
+            "_fid", F.monotonically_increasing_id()
+        ),
+        content_col,
+        lang_col,
+        ["_fid"],
+    )
+    return (
+        imp.groupBy("lang", "module_root")
+        .agg(
+            F.count(F.lit(1)).alias("n_imports"),
+            F.countDistinct("_fid").alias("n_files"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Import extraction (functions/code_imports.py): per-language goldens,
+Python-re parity (the tri-dialect contract), and the stats aggregation."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+
+from llm_tab_cleaner_spark.functions.code_imports import (
+    IMPORT_PATTERNS,
+    extract_imports,
+    import_stats,
+)
+
+SAMPLES = {
+    "python": (
+        "import os\nimport numpy.linalg, sys\n"
+        "from collections.abc import Mapping\n  from x import y\n"
+        "ximport z\n# import inside comment still counts: import fake\n",
+        # (?m)^-anchored: 'ximport' no, comment-leading '#' no (anchor needs
+        # line start + optional blanks), but '# import fake' does NOT match
+        # because '#' precedes 'import'
+        ["os", "numpy.linalg", "collections.abc", "x"],
+    ),
+    "javascript": (
+        "const a = require('lodash/fp');\n"
+        'import {x} from "react-dom";\n'
+        "import './styles.css';\n",
+        ["lodash/fp", "react-dom", "./styles.css"],
+    ),
+    "c": (
+        '#include <stdio.h>\n  # include "mylib/util.h"\nint main(){}\n',
+        ["stdio.h", "mylib/util.h"],
+    ),
+    "java": (
+        "import static org.junit.Assert.assertEquals;\n"
+        "import java.util.List;\nclass A {}\n",
+        ["org.junit.Assert.assertEquals", "java.util.List"],
+    ),
+    "go": (
+        'import "fmt"\nimport f "os/exec"\n',
+        ["fmt", "os/exec"],
+    ),
+}
+
+ROOTS = {
+    "python": ["os", "numpy", "collections", "x"],
+    "javascript": ["lodash", "react-dom", "."],
+    "c": ["stdio.h", "mylib"],
+    "java": ["org", "java"],
+    "go": ["fmt", "os"],
+}
+
+
+def test_patterns_match_python_re():
+    """The exact strings must behave identically under Python re — the
+    same contract the PII/scrub regexes carry (CLAUDE.md tri-dialect)."""
+    for lang, (text, want) in SAMPLES.items():
+        got = []
+        for pat, g in IMPORT_PATTERNS[lang]:
+            got += [m.group(g) for m in re.finditer(pat, text)]
+        assert got == want, lang
+
+
+@pytest.fixture(scope="module")
+def files_df(spark):
+    rows = [
+        (i, lang, text) for i, (lang, (text, _)) in enumerate(SAMPLES.items())
+    ]
+    rows.append((99, "markdown", "import nothing here"))  # unknown lang
+    rows.append((100, "PYTHON", "import case_insensitive\n"))  # case fold
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "content"])
+    )
+
+
+def test_extract_imports_goldens(spark, files_df):
+    out = extract_imports(files_df, "content", "lang", ["doc_id"]).toPandas()
+    for i, (lang, (_, want)) in enumerate(SAMPLES.items()):
+        doc = out[out.doc_id == i]
+        assert list(doc["module"]) == want, lang
+        assert list(doc["module_root"]) == ROOTS[lang], lang
+    assert "markdown" not in out["lang"].values  # unknown → no rows
+    assert "case_insensitive" in out["module"].values  # lang case-folded
+
+
+def test_import_stats(spark, files_df):
+    stats = import_stats(files_df, "content", "lang").toPandas()
+    py = stats[(stats.lang == "python")].set_index("module_root")
+    # two python files (doc 0 + doc 100): four roots from doc 0, one from 100
+    assert py.loc["os", "n_imports"] == 1 and py.loc["os", "n_files"] == 1
+    assert py.loc["case_insensitive", "n_files"] == 1
+    # a file importing the same root twice counts once in n_files
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, "python", "import a.b\nimport a.c\n")],
+            columns=["doc_id", "lang", "content"],
+        )
+    )
+    s = import_stats(dup, "content", "lang").toPandas().set_index("module_root")
+    assert s.loc["a", "n_imports"] == 2 and s.loc["a", "n_files"] == 1
