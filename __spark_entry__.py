@@ -1011,6 +1011,33 @@ def _q_dsir_select(spark, sf):
     )
 
 
+def _q_corpus_select_pack(spark, sf):
+    """The end-to-end corpus assembly composition (selection.py
+    corpus_select_pack): size gate [100, 400] → exact-dedup winner →
+    per-source token-budget mixture (src0:3 src1:1 src2:1, 15000-char
+    budget) → shard packing at 4096. The oracle replays ALL FOUR stages in
+    one CTE chain (dedup groups by raw text — digest grouping is the same
+    partition; membership + offsets use the shared md5-fraction
+    arithmetic), so the whole pipeline — not just each operator — is
+    externally verified. All-bigint layout: exact hash match."""
+    from llm_tab_cleaner_spark.operators.selection import corpus_select_pack
+
+    d = _t(spark, sf, "documents")
+    out = corpus_select_pack(
+        d, "doc_id", "text", "source", "n_chars",
+        {"src0": 3.0, "src1": 1.0, "src2": 1.0},
+        total_budget=15000, shard_tokens=4096,
+        min_size=100, max_size=400,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "tok_start",
+        "shard_id",
+        "shard_off",
+    )
+
+
 def _q_shard_pack(spark, sf):
     """Deterministic token-budget shard assignment (operators/packing.py):
     exact global prefix sum of n_chars in (md5-fraction, doc_id) order via
@@ -1261,8 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recorded window — learned_fuzzy/license_stats/comment_stats
     # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
     # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select/
-    # shard_pack/sequence_pack/winnow_pairs/import_stats (round 5) sit in
-    # the top 50, and the tail
+    # shard_pack/sequence_pack/winnow_pairs/import_stats/corpus_select_pack
+    # (round 5) sit in the top 50, and the tail
     # holds (a) long-stable queries whose operators are also covered by
     # other green rows (event_bins ⊂ event_windows/sessions, short_docs ⊂
     # doc_stats, embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
@@ -1273,8 +1300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # replayed chain, fk_lineitem_orders ⊂ fk_sweep; top_customers —
     # TPC-style topk/join covered by token_topk + region_revenue in head —
     # rotated out when winnow_pairs landed; event_windows ⊂ event_sessions
-    # + the streaming window twins — rotated out when import_stats landed)
-    # and (b) the three model-backed rows-only queries.
+    # + the streaming window twins — rotated out when import_stats landed;
+    # rare_brands — A9 rare-category agg, same group-count shape as
+    # doc_lang_stats/quality_by_source in head — rotated out when
+    # corpus_select_pack landed) and (b) the three model-backed rows-only
+    # queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1286,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "shard_pack": _q_shard_pack,
         "sequence_pack": _q_sequence_pack,
+        "corpus_select_pack": _q_corpus_select_pack,
         "event_sessions": _q_event_sessions,
         "value_quantiles": _q_value_quantiles,
         "profile_orders": _q_profile_orders,
@@ -1293,7 +1324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": _q_length_outliers,
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
-        "rare_brands": _q_rare_brands,
         "doc_stats": _q_doc_stats,
         "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
@@ -1340,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_length_stats": _q_string_length_stats,
         "topk_parts": _q_topk_parts,
         "event_bins": _q_event_bins,
+        "rare_brands": _q_rare_brands,
         "event_windows": _q_event_windows,
         "top_customers": _q_top_customers,
         "short_docs": _q_short_docs,
@@ -2272,6 +2303,51 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             ORDER BY score DESC, doc_id
             LIMIT 30
+        """,
+        "corpus_select_pack": """
+            -- replays the WHOLE corpus_select_pack composition: gate ->
+            -- exact-dedup winner (group by raw text == digest partition) ->
+            -- capped per-source token-budget rates -> md5-fraction
+            -- membership -> exclusive cumsum in (frac, id) order -> shard
+            -- assignment. All bigint outputs — exact value-hash match.
+            WITH g AS (
+              SELECT doc_id, text, source, n_chars FROM documents
+              WHERE n_chars BETWEEN 100 AND 400
+            ),
+            win AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY text),
+            s AS (SELECT g.* FROM g JOIN win USING (doc_id)),
+            cnt AS (SELECT source, sum(n_chars) AS n FROM s GROUP BY source),
+            r AS (
+              SELECT source,
+                     least(1.0,
+                           CASE source WHEN 'src0' THEN 3.0
+                                       WHEN 'src1' THEN 1.0
+                                       WHEN 'src2' THEN 1.0
+                                       ELSE 0.0 END
+                           / 5.0 * 15000.0 / n) AS rate
+              FROM cnt
+            ),
+            sel AS (
+              SELECT s.doc_id, s.source, s.n_chars,
+                     CAST(('0x' || substr(md5('v:' || s.doc_id::VARCHAR), 1, 8))
+                          AS UBIGINT) / 4294967296.0 AS frac
+              FROM s JOIN r USING (source)
+              WHERE CAST(('0x' || substr(md5('v:' || s.doc_id::VARCHAR), 1, 8))
+                         AS UBIGINT) / 4294967296.0 < r.rate
+            ),
+            o AS (
+              SELECT doc_id, source,
+                     coalesce(sum(greatest(coalesce(n_chars, 0), 0)) OVER (
+                       ORDER BY frac, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS tok_start
+              FROM sel
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(tok_start AS BIGINT) AS tok_start,
+                   CAST(tok_start // 4096 AS BIGINT) AS shard_id,
+                   CAST(tok_start % 4096 AS BIGINT) AS shard_off
+            FROM o
         """,
         "shard_pack": """
             -- the distributed two-level prefix sum vs the sequential

@@ -184,3 +184,55 @@ def dsir_select(
         docs_df.join(w, id_col), id_col, "_lw", k, log_weights=True
     )
     return chosen.drop("_lw")
+
+
+def corpus_select_pack(
+    docs_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    size_col: str,
+    weights: dict[str, float],
+    total_budget: int,
+    shard_tokens: int,
+    min_size: int | None = None,
+    max_size: int | None = None,
+) -> DataFrame:
+    """The end-to-end corpus assembly recipe — the shape every pretraining
+    data pipeline ends with (the reference stops at per-table cleaning;
+    this is the beyond-reference §2.9 capstone):
+
+      1. GATE: keep docs whose ``size_col`` lies in [min_size, max_size]
+         (pure pushdown-able filter — reaches the parquet scan);
+      2. EXACT DEDUP: one winner (min id) per identical ``text_col``
+         (sha256 groupBy, map-side combined; winners join back id-keyed);
+      3. MIXTURE SELECT: deterministic per-source token-budget sampling
+         (``mixture_sample(size_col=...)`` — membership a pure function of
+         the id hash, stable across cluster sizes);
+      4. PACK: deterministic shard assignment over the SURVIVORS
+         (``pack_shards`` two-level prefix sum — no global sort).
+
+    Returns the selected rows + ``tok_start``/``shard_id``/``shard_off``.
+    Every stage is a deterministic function of the input VALUES, so the
+    whole composition replays in SQL (the ``corpus_select_pack`` driver
+    oracle) and produces byte-identical shard layouts at any parallelism.
+
+    Scale: filters push down; dedup shuffles (digest, id) pairs only;
+    selection's per-source totals are one broadcast-joined tiny aggregate;
+    packing shuffles (bucket, frac, id, tokens). Nothing materializes doc
+    text beyond the dedup digest pass."""
+    from llm_tab_cleaner_spark.functions.sampling import mixture_sample
+    from llm_tab_cleaner_spark.operators.dedup import exact_dedup
+    from llm_tab_cleaner_spark.operators.packing import pack_shards
+
+    d = docs_df
+    if min_size is not None:
+        d = d.filter(F.col(size_col) >= min_size)
+    if max_size is not None:
+        d = d.filter(F.col(size_col) <= max_size)
+    winners = exact_dedup(d, [id_col], text_col).select(id_col)
+    d = d.join(winners, id_col)
+    sel = mixture_sample(
+        d, source_col, id_col, weights, total_budget, size_col=size_col
+    )
+    return pack_shards(sel, id_col, size_col, shard_tokens)

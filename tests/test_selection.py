@@ -228,3 +228,60 @@ def test_dsir_select_end_to_end(spark, frames):
     assert [r["doc_id"] for r in rows] == [i for _s, i in scored]
     with pytest.raises(ValueError, match="temperature"):
         dsir_select(d, "doc_id", "text", t, k=3, temperature=0.0)
+
+
+def test_corpus_select_pack_composition(spark):
+    """End-to-end: gate drops out-of-band sizes, dedup keeps min-id winner,
+    mixture membership is the md5-fraction rule, offsets are the exclusive
+    cumsum in (frac, id) order — replayed in plain Python."""
+    import hashlib
+
+    from llm_tab_cleaner_spark.operators.selection import corpus_select_pack
+
+    rows = []
+    for i in range(60):
+        src = f"src{i % 2}"
+        text = f"doc body {i} " + "x" * (80 + (i * 7) % 200)
+        rows.append((i, text, src, len(text)))
+    rows.append((100, rows[4][1], "src0", len(rows[4][1])))  # dup of doc 4
+    rows.append((101, "tiny", "src0", 4))  # gated out (< min)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source", "n_chars"])
+    )
+    weights = {"src0": 2.0, "src1": 1.0}
+    out = corpus_select_pack(
+        df, "doc_id", "text", "source", "n_chars", weights,
+        total_budget=4000, shard_tokens=1024, min_size=50, max_size=400,
+    ).toPandas()
+
+    def frac(k):
+        return int(hashlib.md5(f"v:{k}".encode()).hexdigest()[:8], 16) / 2**32
+
+    # python replay
+    gated = [r for r in rows if 50 <= r[3] <= 400]
+    by_text = {}
+    for r in gated:
+        by_text.setdefault(r[1], []).append(r)
+    winners = [min(v, key=lambda r: r[0]) for v in by_text.values()]
+    totals = {}
+    for r in winners:
+        totals[r[2]] = totals.get(r[2], 0) + r[3]
+    wsum = sum(weights.values())
+    sel = [
+        r for r in winners
+        if frac(r[0]) < min(1.0, weights[r[2]] / wsum * 4000 / totals[r[2]])
+    ]
+    sel.sort(key=lambda r: (frac(r[0]), r[0]))
+    offsets, acc = {}, 0
+    for r in sel:
+        offsets[r[0]] = acc
+        acc += r[3]
+
+    assert set(out.doc_id) == {r[0] for r in sel}
+    assert 100 not in set(out.doc_id)  # dup loser gone even if sampled
+    assert 101 not in set(out.doc_id)  # gated out
+    got = out.set_index("doc_id")
+    for did, off in offsets.items():
+        assert got.loc[did, "tok_start"] == off
+        assert got.loc[did, "shard_id"] == off // 1024
+        assert got.loc[did, "shard_off"] == off % 1024
