@@ -1011,6 +1011,24 @@ def _q_dsir_select(spark, sf):
     )
 
 
+def _q_quality_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (selection.py quality_buckets) per
+    source with n_chars as the deterministic stand-in score (CCNet uses LM
+    perplexity; the statistical scorer is UDF-backed and F1-gated, so the
+    oracled query uses the native score column). Binary-fraction cuts
+    (.25/.75) make the threshold interpolation bit-exact on both engines.
+    Aggregated output: per (source, bucket) count + score span."""
+    from llm_tab_cleaner_spark.operators.selection import quality_buckets
+
+    d = _t(spark, sf, "documents")
+    b = quality_buckets(d, "source", "n_chars")
+    return b.groupBy("source", "quality_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
 def _q_corpus_select_pack(spark, sf):
     """The end-to-end corpus assembly composition (selection.py
     corpus_select_pack): size gate [100, 400] → exact-dedup winner →
@@ -1288,8 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the recorded window — learned_fuzzy/license_stats/comment_stats
     # (round 4) and pipeline_corpus_gate/dedup_clusters/repetition_stats/
     # paragraph_dedup/decontaminate/dsir_weights/mixture_sample/dsir_select/
-    # shard_pack/sequence_pack/winnow_pairs/import_stats/corpus_select_pack
-    # (round 5) sit in the top 50, and the tail
+    # shard_pack/sequence_pack/winnow_pairs/import_stats/corpus_select_pack/
+    # quality_buckets (round 5) sit in the top 50, and the tail
     # holds (a) long-stable queries whose operators are also covered by
     # other green rows (event_bins ⊂ event_windows/sessions, short_docs ⊂
     # doc_stats, embedding_norms ⊂ cosine/knn family, dup_pairs_count ⊂
@@ -1303,8 +1321,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # + the streaming window twins — rotated out when import_stats landed;
     # rare_brands — A9 rare-category agg, same group-count shape as
     # doc_lang_stats/quality_by_source in head — rotated out when
-    # corpus_select_pack landed) and (b) the three model-backed rows-only
-    # queries.
+    # corpus_select_pack landed; value_quantiles — exact-percentile
+    # mechanism now also exercised by quality_buckets' thresholds — rotated
+    # out when quality_buckets landed) and (b) the three model-backed
+    # rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1317,8 +1337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_pack": _q_shard_pack,
         "sequence_pack": _q_sequence_pack,
         "corpus_select_pack": _q_corpus_select_pack,
+        "quality_buckets": _q_quality_buckets,
         "event_sessions": _q_event_sessions,
-        "value_quantiles": _q_value_quantiles,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
         "length_outliers": _q_length_outliers,
@@ -1370,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_length_stats": _q_string_length_stats,
         "topk_parts": _q_topk_parts,
         "event_bins": _q_event_bins,
+        "value_quantiles": _q_value_quantiles,
         "rare_brands": _q_rare_brands,
         "event_windows": _q_event_windows,
         "top_customers": _q_top_customers,
@@ -2303,6 +2324,29 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             ORDER BY score DESC, doc_id
             LIMIT 30
+        """,
+        "quality_buckets": """
+            -- CCNet bucket replay: per-source quantile_cont thresholds at
+            -- the binary cuts (bit-exact interpolation vs Spark percentile),
+            -- when-chain label, (source, bucket) rollup
+            WITH th AS (
+              SELECT source,
+                     quantile_cont(n_chars, 0.25) AS t0,
+                     quantile_cont(n_chars, 0.75) AS t1
+              FROM documents GROUP BY source
+            ),
+            lab AS (
+              SELECT d.source, d.n_chars,
+                     CASE WHEN d.n_chars <= th.t0 THEN 'head'
+                          WHEN d.n_chars <= th.t1 THEN 'middle'
+                          ELSE 'tail' END AS quality_bucket
+              FROM documents d JOIN th USING (source)
+            )
+            SELECT source, quality_bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_chars) AS BIGINT) AS min_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM lab GROUP BY source, quality_bucket
         """,
         "corpus_select_pack": """
             -- replays the WHOLE corpus_select_pack composition: gate ->

@@ -236,3 +236,50 @@ def corpus_select_pack(
         d, source_col, id_col, weights, total_budget, size_col=size_col
     )
     return pack_shards(sel, id_col, size_col, shard_tokens)
+
+
+def quality_buckets(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    cuts: tuple[float, ...] = (0.25, 0.75),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group quality bucketing (Wenzek et al. 2020 §4.4 —
+    public: bucket each language's documents into head/middle/tail by
+    perplexity quantiles; LOWER score = better, so ``labels[0]`` gets the
+    lowest-score docs). Adds ``quality_bucket`` to every row.
+
+    Spark-first shape: per-group thresholds are ONE map-side-combined
+    aggregation (exact interpolated ``percentile`` — swap in
+    ``percentile_approx`` at 100 TB for a sketch-mergeable version with
+    the identical plan shape), broadcast-joined back; the label is a pure
+    when-chain — NO per-group global sort, no NTILE window (an
+    ``ntile() OVER (PARTITION BY group)`` would funnel each group through
+    a single reducer — the canonical skew bug this design avoids).
+
+    Determinism note: with binary-fraction cuts (.25/.5/.75) the
+    interpolation arithmetic ``lo + frac·(hi-lo)`` is EXACT in doubles for
+    integer scores, so bucket membership replays bit-identically in the
+    DuckDB oracle (``quantile_cont``). Thirds (1/3) would leave the
+    threshold one ulp engine-dependent — documented trade, default stays
+    binary."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / {len(labels)} labels"
+        )
+    if list(cuts) != sorted(cuts) or not all(0.0 < c < 1.0 for c in cuts):
+        raise ValueError(f"cuts must be ascending in (0, 1), got {cuts}")
+    aggs = [
+        F.expr(f"percentile({score_col}, {float(c)!r})").alias(f"_qb_t{i}")
+        for i, c in enumerate(cuts)
+    ]
+    th = df.groupBy(group_col).agg(*aggs)
+    d = df.join(F.broadcast(th), group_col)
+    expr = F.when(F.col(score_col) <= F.col("_qb_t0"), F.lit(labels[0]))
+    for i in range(1, len(cuts)):
+        expr = expr.when(F.col(score_col) <= F.col(f"_qb_t{i}"), F.lit(labels[i]))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return d.withColumn("quality_bucket", expr).drop(
+        *[f"_qb_t{i}" for i in range(len(cuts))]
+    )

@@ -285,3 +285,45 @@ def test_corpus_select_pack_composition(spark):
         assert got.loc[did, "tok_start"] == off
         assert got.loc[did, "shard_id"] == off // 1024
         assert got.loc[did, "shard_off"] == off % 1024
+
+
+def test_quality_buckets(spark):
+    """Bucket membership vs an exact-interpolation python replay, plus the
+    partitioning-invariance the broadcast-threshold design guarantees."""
+    from llm_tab_cleaner_spark.operators.selection import quality_buckets
+
+    rows = [(i, "a" if i < 40 else "b", (i * 13) % 97 + 10) for i in range(60)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "score"])
+    )
+    out = quality_buckets(df, "source", "score").toPandas().set_index("doc_id")
+
+    def pctl(vals, p):
+        v = sorted(vals)
+        pos = p * (len(v) - 1)
+        lo, hi = int(pos), min(int(pos) + 1, len(v) - 1)
+        return v[lo] + (pos - lo) * (v[hi] - v[lo])
+
+    for src in ("a", "b"):
+        scores = [s for _, g, s in rows if g == src]
+        t0, t1 = pctl(scores, 0.25), pctl(scores, 0.75)
+        for did, g, s in rows:
+            if g != src:
+                continue
+            want = "head" if s <= t0 else ("middle" if s <= t1 else "tail")
+            assert out.loc[did, "quality_bucket"] == want, (did, s, t0, t1)
+    # head gets the LOWEST scores (perplexity convention)
+    a = out[out.source == "a"]
+    assert a[a.quality_bucket == "head"].score.max() < \
+        a[a.quality_bucket == "tail"].score.min()
+    # invariant under repartitioning
+    out2 = (
+        quality_buckets(df.repartition(7), "source", "score")
+        .toPandas().set_index("doc_id")["quality_bucket"]
+    )
+    assert dict(out2) == dict(out["quality_bucket"])
+
+    with pytest.raises(ValueError):
+        quality_buckets(df, "source", "score", cuts=(0.5,), labels=("x",))
+    with pytest.raises(ValueError):
+        quality_buckets(df, "source", "score", cuts=(0.9, 0.1))

@@ -141,10 +141,20 @@ def main() -> None:
             df.withColumn("n_tok", F.length("text")), "doc_id", "n_tok", 2048
         ).drop("text").write.format("noop").mode("overwrite").save()
 
+    def q_winnow(df):
+        from llm_tab_cleaner_spark.operators.fingerprint import (
+            winnow_overlap_pairs,
+        )
+
+        winnow_overlap_pairs(
+            df, "doc_id", "text", k=20, window=16, min_shared=2
+        ).write.format("noop").mode("overwrite").save()
+
     all_ops = [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
                ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
                ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam),
-               ("shard_pack", q_shard_pack), ("sequence_pack", q_sequence_pack)]
+               ("shard_pack", q_shard_pack), ("sequence_pack", q_sequence_pack),
+               ("winnow_pairs", q_winnow)]
     only = set(sys.argv[2:])
     if only:
         all_ops = [(n, q) for n, q in all_ops if n in only]
