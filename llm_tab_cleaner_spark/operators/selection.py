@@ -231,7 +231,13 @@ def corpus_select_pack(
     if max_size is not None:
         d = d.filter(F.col(size_col) <= max_size)
     winners = exact_dedup(d, [id_col], text_col).select(id_col)
-    d = d.join(winners, id_col)
+    # The deduped survivor frame feeds mixture_sample's per-source totals,
+    # its membership filter, and pack_shards' bucket aggregate + join-back
+    # — without materialization each consumer re-scans the source and
+    # re-runs the dedup join (~6 scans of a 100 TB table). localCheckpoint,
+    # never persist (CacheManager plan-equality leak — CLAUDE.md); at
+    # production scale this is the materialized post-dedup table.
+    d = d.join(winners, id_col).localCheckpoint(eager=True)
     sel = mixture_sample(
         d, source_col, id_col, weights, total_budget, size_col=size_col
     )
