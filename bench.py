@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "embedding_near_dup", "minhash_pairs", "simhash_pairs", "ngram_jaccard",
     "pipeline_corpus_gate", "dedup_clusters",
     "repetition_stats", "paragraph_dedup", "decontaminate",
+    "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
+    "shard_pack", "sequence_pack", "dsir_select",
 ]
 
 

@@ -17,6 +17,7 @@ SUBSET = [
     "lsh_topk", "ivf_assign", "keyword_langid", "dataset_splits",
     "learned_patterns", "learned_fuzzy", "license_stats", "comment_stats",
     "dsir_select", "dedup_clusters",
+    "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
 ]
 
 
