@@ -875,6 +875,103 @@ def _q_repetition_stats(spark, sf):
     return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", 2)
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher quality rules (Rae et al. 2021 A1.1) per document. The
+    documents table is a single-line word bag, so the query synthesizes the
+    structure the rules exercise: 6-word lines, bullet-list headers on every
+    5th doc, ellipsis-ending trailer lines on every 7th, hash-tag lines on
+    every 3rd — all deterministic string expressions mirrored byte-for-byte
+    by the oracle CTE."""
+    from llm_tab_cleaner_spark.functions.webquality import gopher_quality_stats
+
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("- alpha beta\n- gamma delta\n* epsilon zeta\n"),
+        ).otherwise(F.lit("")),
+        F.regexp_replace(F.col("text"), "(([^ ]+ ){6})", "$1\n"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nto be continued ...\nand the story goes on ..."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\n## section #tag #note")
+        ).otherwise(F.lit("")),
+    )
+    return gopher_quality_stats(
+        d.select("doc_id", content.alias("content")), "doc_id", "content"
+    )
+
+
+def _q_c4_clean(spark, sf):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) per document:
+    synthesized 6-word sentence lines (each ends with ' .'), a too-short
+    line on every 4th doc (min-words filter), a policy-phrase line on every
+    6th (phrase filter), 'lorem ipsum' on every 11th and a '{' line on
+    every 13th (page filters). text_clean is value-compared via md5 +
+    length, like paragraph_dedup."""
+    from llm_tab_cleaner_spark.functions.webquality import c4_clean
+
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("tiny line.\n")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit("Please review our privacy policy and cookie settings now.\n"),
+        ).otherwise(F.lit("")),
+        F.regexp_replace(F.col("text"), "(([^ ]+ ){6})", "$1.\n"),
+        F.lit(" the end of it all."),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nLorem Ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\nfunction f() { return 1; }")
+        ).otherwise(F.lit("")),
+    )
+    out = c4_clean(d.select("doc_id", content.alias("content")), "doc_id", "content")
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        F.length("text_clean").cast("bigint").alias("clean_len"),
+        "n_lines",
+        "n_lines_kept",
+        "n_sentences",
+        "has_lorem",
+        "has_brace",
+        "c4_keep",
+    )
+
+
+def _q_stack_stats(spark, sf):
+    """The Stack / SantaCoder code-quality filters per file: 8-word lines,
+    a 128-char hex/base64 run on every 9th doc (encoded-data filter), an
+    autogen marker on every 17th, a 1200-char line on every 8th (max-line
+    filter). Mean/max line length, alnum fraction, encoded fraction, the
+    autogen flag and the combined keep — all value-compared."""
+    from llm_tab_cleaner_spark.functions.webquality import code_quality_stats
+
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.regexp_replace(F.col("text"), "(([^ ]+ ){8})", "$1\n"),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("ABCDEF0123456789"), 8)),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\n# Code generated by protoc. DO NOT EDIT."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.concat(F.lit("\n"), F.repeat(F.lit("x"), 1200)),
+        ).otherwise(F.lit("")),
+    )
+    return code_quality_stats(
+        d.select("doc_id", content.alias("content")), "doc_id", "content"
+    )
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -1323,8 +1420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_lang_stats/quality_by_source in head — rotated out when
     # corpus_select_pack landed; value_quantiles — exact-percentile
     # mechanism now also exercised by quality_buckets' thresholds — rotated
-    # out when quality_buckets landed) and (b) the three model-backed
-    # rows-only queries.
+    # out when quality_buckets landed; length_outliers/dp_noise/
+    # validity_counts — ≥3 green rounds each, outlier/noise/predicate
+    # mechanisms also exercised by price_outliers (tail) + scrub_parity/
+    # native_rules_docs (head) — rotated out when the webquality family
+    # gopher_quality/c4_clean/stack_stats landed) and (b) the three
+    # model-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1338,12 +1439,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "corpus_select_pack": _q_corpus_select_pack,
         "quality_buckets": _q_quality_buckets,
+        "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
+        "stack_stats": _q_stack_stats,
         "event_sessions": _q_event_sessions,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
-        "length_outliers": _q_length_outliers,
-        "dp_noise": _q_dp_noise,
-        "validity_counts": _q_validity_counts,
         "doc_stats": _q_doc_stats,
         "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
@@ -1378,7 +1479,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
-        # sixteen below ARE oracled — tools/parity_check.py verifies them ----
+        # nineteen below (except the three model-backed rows-only ones) ARE
+        # oracled — tools/parity_check.py verifies them ----
+        "length_outliers": _q_length_outliers,
+        "dp_noise": _q_dp_noise,
+        "validity_counts": _q_validity_counts,
         "corr_matrix": _q_corr_matrix,
         "calibration_bins": _q_calibration_bins,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
@@ -2618,6 +2723,219 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(src AS BIGINT) AS doc_id,
                    CAST(least(src, min(dst)) AS BIGINT) AS component
             FROM reach GROUP BY src
+        """,
+        "gopher_quality": r"""
+            -- Gopher quality rules; mirrors functions/webquality.py
+            -- gopher_quality_stats EXACTLY: same synthesized content, same
+            -- normalization order as repetition_stats, counts via
+            -- regexp_extract_all against explicit \n-delimited sources (no
+            -- multiline anchors — Java (?m) also honors bare \r), keep flag
+            -- compared on the ROUNDED fractions.
+            WITH base AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 5 = 0 THEN '- alpha beta' || chr(10) ||
+                  '- gamma delta' || chr(10) || '* epsilon zeta' || chr(10)
+                  ELSE '' END)
+                || regexp_replace(text, '(([^ ]+ ){6})', '\1' || chr(10), 'g')
+                || (CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                  'to be continued ...' || chr(10) ||
+                  'and the story goes on ...' ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                  '## section #tag #note' ELSE '' END) AS content
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, content,
+                     regexp_replace(regexp_replace(regexp_replace(content,
+                       '[ \t\r\f]*\n[ \t\r\f]*', chr(10), 'g'),
+                       '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g'),
+                       '^\n+|\n+$', '', 'g') AS norm,
+                     regexp_replace(content,
+                       '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g') AS stripped,
+                     regexp_replace(lower(content),
+                       '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g') AS stripped_lc
+              FROM base
+            ),
+            arr AS (
+              SELECT doc_id, content, norm,
+                CASE WHEN length(stripped) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(stripped, '[ \t\r\f\n]+') END AS words,
+                CASE WHEN length(stripped_lc) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(stripped_lc, '[ \t\r\f\n]+') END AS words_lc,
+                CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(norm, '\n+') END AS ls
+              FROM feats
+            ),
+            m AS (
+              SELECT doc_id, len(words) AS nw, len(ls) AS nl,
+                round(CASE WHEN len(words) > 0 THEN
+                  length(array_to_string(words, ''))::DOUBLE / len(words)
+                  ELSE 0.0 END, 4) AS mwl,
+                round(CASE WHEN len(words) > 0 THEN
+                  ((length(content) - length(replace(content, '#', '')))
+                   + (length(content) - length(replace(content, '...', ''))) / 3.0
+                   + (length(content) - length(replace(content, '…', ''))))::DOUBLE
+                  / len(words) ELSE 0.0 END, 4) AS swr,
+                round(CASE WHEN len(ls) > 0 THEN
+                  len(regexp_extract_all(chr(10) || norm, '\n[-*•‣▪]'))::DOUBLE
+                  / len(ls) ELSE 0.0 END, 4) AS blf,
+                round(CASE WHEN len(ls) > 0 THEN
+                  len(regexp_extract_all(norm || chr(10), '(\.\.\.|…)\n'))::DOUBLE
+                  / len(ls) ELSE 0.0 END, 4) AS elf,
+                round(CASE WHEN len(words) > 0 THEN
+                  len(regexp_extract_all(' ' || content,
+                    '[ \t\r\f\n][^ \t\r\f\n]*[A-Za-z]'))::DOUBLE
+                  / len(words) ELSE 0.0 END, 4) AS awf,
+                (list_contains(words_lc, 'the')::INT + list_contains(words_lc, 'be')::INT
+                 + list_contains(words_lc, 'to')::INT + list_contains(words_lc, 'of')::INT
+                 + list_contains(words_lc, 'and')::INT + list_contains(words_lc, 'that')::INT
+                 + list_contains(words_lc, 'have')::INT + list_contains(words_lc, 'with')::INT
+                ) AS hits
+              FROM arr
+            )
+            SELECT doc_id,
+              CAST(nw AS BIGINT) AS n_words,
+              CAST(nl AS BIGINT) AS n_lines,
+              mwl::DOUBLE AS mean_word_len,
+              swr::DOUBLE AS symbol_word_ratio,
+              blf::DOUBLE AS bullet_line_frac,
+              elf::DOUBLE AS ellipsis_line_frac,
+              awf::DOUBLE AS alpha_word_frac,
+              CAST(hits AS BIGINT) AS n_stop_hits,
+              (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+               AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+               AND hits >= 2) AS gopher_keep
+            FROM m
+        """,
+        "c4_clean": r"""
+            -- C4 cleaning; mirrors functions/webquality.py c4_clean EXACTLY:
+            -- same synthesized content, line keep = terminal punct + >=5
+            -- words + no drop phrase, page keep = >=3 sentences in the
+            -- CLEANED text and no lorem/brace in the ORIGINAL.
+            WITH base AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 4 = 0 THEN 'tiny line.' || chr(10) ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN
+                  'Please review our privacy policy and cookie settings now.'
+                  || chr(10) ELSE '' END)
+                || regexp_replace(text, '(([^ ]+ ){6})', '\1.' || chr(10), 'g')
+                || ' the end of it all.'
+                || (CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                  'Lorem Ipsum dolor sit amet.' ELSE '' END)
+                || (CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                  'function f() { return 1; }' ELSE '' END) AS content
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id, content,
+                     regexp_replace(regexp_replace(regexp_replace(content,
+                       '[ \t\r\f]*\n[ \t\r\f]*', chr(10), 'g'),
+                       '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g'),
+                       '^\n+|\n+$', '', 'g') AS norm
+              FROM base
+            ),
+            arr AS (
+              SELECT doc_id, content,
+                CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(norm, '\n+') END AS ls
+              FROM feats
+            ),
+            k AS (
+              SELECT doc_id, content, ls,
+                list_filter(ls, x -> regexp_matches(x, '[.!?"”]$')
+                  AND len(string_split_regex(x, '[ \t\r\f]+')) >= 5
+                  AND NOT contains(lower(x), 'javascript')
+                  AND NOT contains(lower(x), 'cookie policy')
+                  AND NOT contains(lower(x), 'privacy policy')
+                  AND NOT contains(lower(x), 'terms of use')
+                  AND NOT contains(lower(x), 'uses cookies')) AS kept
+              FROM arr
+            ),
+            c AS (
+              SELECT doc_id, content, ls, kept,
+                     array_to_string(kept, chr(10)) AS clean
+              FROM k
+            )
+            SELECT doc_id,
+              md5(clean) AS clean_md5,
+              CAST(length(clean) AS BIGINT) AS clean_len,
+              CAST(len(ls) AS BIGINT) AS n_lines,
+              CAST(len(kept) AS BIGINT) AS n_lines_kept,
+              CAST(len(regexp_extract_all(clean || chr(10),
+                '[.!?]["”]?[ \t\r\f\n]')) AS BIGINT) AS n_sentences,
+              contains(lower(content), 'lorem ipsum') AS has_lorem,
+              contains(content, '{') AS has_brace,
+              (len(regexp_extract_all(clean || chr(10),
+                 '[.!?]["”]?[ \t\r\f\n]')) >= 3
+               AND NOT contains(lower(content), 'lorem ipsum')
+               AND NOT contains(content, '{')) AS c4_keep
+            FROM c
+        """,
+        "stack_stats": r"""
+            -- The Stack code-quality filters; mirrors functions/webquality.py
+            -- code_quality_stats EXACTLY (raw \n-split lines incl. blanks,
+            -- translate-equivalent ASCII alnum/ws classes, base64 runs
+            -- removed before hex runs, the contains()-chain autogen
+            -- markers with the \* entry unescaped).
+            WITH base AS (
+              SELECT doc_id,
+                regexp_replace(text, '(([^ ]+ ){8})', '\1' || chr(10), 'g')
+                || (CASE WHEN doc_id % 9 = 0 THEN chr(10) ||
+                  repeat('ABCDEF0123456789', 8) ELSE '' END)
+                || (CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                  '# Code generated by protoc. DO NOT EDIT.' ELSE '' END)
+                || (CASE WHEN doc_id % 8 = 0 THEN chr(10) ||
+                  repeat('x', 1200) ELSE '' END) AS content
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, content,
+                     string_split(content, chr(10)) AS ls,
+                     length(content) AS total
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id, total, len(ls) AS nl,
+                list_max(list_transform(ls, x -> length(x))) AS mll,
+                (total - (len(ls) - 1)) AS line_chars,
+                length(regexp_replace(content, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+                length(regexp_replace(content,
+                  '[ \t\n\x0B\x0C\r]', '', 'g')) AS nonspace,
+                (total - length(regexp_replace(regexp_replace(content,
+                  '[A-Za-z0-9+/=]{64,}', '', 'g'),
+                  '[0-9a-fA-F]{16,}', '', 'g'))) AS enc,
+                (contains(content, 'DO NOT EDIT')
+                 OR contains(content, 'Code generated by')
+                 OR contains(content, '@generated')
+                 OR contains(content, 'Autogenerated by')
+                 OR contains(content, 'generated by protoc')
+                 OR contains(content, 'swagger-codegen')
+                 OR contains(content, 'This file was automatically generated')
+                 OR contains(content, '# -*- DO NOT MODIFY -*-')
+                 OR contains(content, '"lockfileVersion"')
+                 OR contains(content, '# This file is auto-generated')) AS autogen
+              FROM m
+            ),
+            f AS (
+              SELECT doc_id, nl, mll, autogen,
+                round(CASE WHEN nl > 0 THEN line_chars::DOUBLE / nl
+                  ELSE 0.0 END, 4) AS mean_ll,
+                round(CASE WHEN nonspace > 0 THEN alnum::DOUBLE / nonspace
+                  ELSE 1.0 END, 4) AS af,
+                round(CASE WHEN total > 0 THEN enc::DOUBLE / total
+                  ELSE 0.0 END, 4) AS ef
+              FROM s
+            )
+            SELECT doc_id,
+              CAST(nl AS BIGINT) AS n_lines,
+              CAST(mll AS BIGINT) AS max_line_len,
+              mean_ll::DOUBLE AS mean_line_len,
+              af::DOUBLE AS alnum_frac,
+              ef::DOUBLE AS encoded_data_frac,
+              autogen AS is_autogen,
+              (mean_ll <= 100.0 AND mll <= 1000 AND af >= 0.25
+               AND ef <= 0.5 AND NOT autogen) AS stack_keep
+            FROM f
         """,
         "repetition_stats": r"""
             -- Gopher repetition features; mirrors functions/repetition.py
