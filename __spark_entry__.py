@@ -972,6 +972,74 @@ def _q_stack_stats(spark, sf):
     )
 
 
+def _url_expr():
+    """Deterministic messy-URL synthesis shared by _q_url_domains and
+    _q_domain_mix (mirrored verbatim by their oracle CTEs): mixed-case
+    schemes, bare scheme-relative forms, userinfo, default and explicit
+    ports, co.uk two-level suffixes, trailing host dots, paths, fragments."""
+    w1 = F.regexp_extract(F.col("text"), "^([^ ]+)", 1)
+    w2 = F.regexp_extract(F.col("text"), "^[^ ]+ ([^ ]+)", 1)
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+    return F.concat(
+        F.when(m(4) == 0, F.lit("https://"))
+        .when(m(4) == 1, F.lit("HTTP://"))
+        .when(m(4) == 2, F.lit("http://"))
+        .otherwise(F.lit("")),
+        F.when(m(7) == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.lit("WWW"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("."),
+        w1,
+        F.when(m(5) == 0, F.lit(".co.uk")).otherwise(F.lit(".example.com")),
+        F.when(m(11) == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(m(6) == 0, F.lit(":443"))
+        .when(m(6) == 3, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(m(2) == 0, F.concat(F.lit("/"), w2, F.lit("/page"))).otherwise(
+            F.lit("")
+        ),
+        F.when(m(9) == 0, F.lit("#Section-1")).otherwise(F.lit("")),
+    )
+
+
+def _q_url_domains(spark, sf):
+    """URL parsing/normalization family (functions/urls.py) per document:
+    host extraction (scheme/userinfo/port/trailing-dot handling),
+    naive registrable domain (incl. two-level co.uk suffixes), and the
+    canonical normalized URL (lowercased scheme+host, default ports
+    dropped, fragment dropped, empty path -> /)."""
+    from llm_tab_cleaner_spark.functions.urls import with_url_columns
+
+    d = _t(spark, sf, "documents")
+    return with_url_columns(
+        d.select("doc_id", _url_expr().alias("url")), "url"
+    ).select("doc_id", "url", "host", "domain", "url_norm")
+
+
+def _q_domain_mix(spark, sf):
+    """Corpus domain mix over the same synthesized URLs: docs and corpus
+    fraction per registrable domain — one shuffle on the short domain key,
+    total via a broadcast scalar."""
+    from llm_tab_cleaner_spark.functions.urls import domain_stats
+
+    d = _t(spark, sf, "documents")
+    return domain_stats(d.select("doc_id", _url_expr().alias("url")), "url").select(
+        "domain", F.col("n_docs").cast("bigint").alias("n_docs"), "frac"
+    )
+
+
+def _q_oov_rate(spark, sf):
+    """Tokenizer-coverage analysis: vocabulary = top-50 lowercased tokens of
+    the even-doc half (deterministic count-desc/token-asc order), per-doc
+    OOV counts and rate over the whole corpus. Broadcast vocab membership —
+    corpus tokens never shuffle for the test."""
+    from llm_tab_cleaner_spark.operators.text_analysis import build_vocab, oov_stats
+
+    d = _t(spark, sf, "documents")
+    vocab = build_vocab(d.filter(F.col("doc_id") % 2 == 0), "text", top_k=50)
+    return oov_stats(d, "doc_id", "text", vocab)
+
+
 def _q_calibration_metrics(spark, sf):
     """A18 Brier/log-loss/reliability/sharpness in one distributed plan over
     the same synthesized (conf, label) pairs calibration_bins uses."""
@@ -1424,7 +1492,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # validity_counts — ≥3 green rounds each, outlier/noise/predicate
     # mechanisms also exercised by price_outliers (tail) + scrub_parity/
     # native_rules_docs (head) — rotated out when the webquality family
-    # gopher_quality/c4_clean/stack_stats landed) and (b) the three
+    # gopher_quality/c4_clean/stack_stats landed; doc_chunks/stopword_ratio
+    # — ≥3 green rounds, chunking/token mechanisms adjacent to bpe_tokens/
+    # doc_stats in head — rotated out when the URL family
+    # url_domains/domain_mix landed; label_centroids — centroid mechanism
+    # adjacent to ivf_assign in head — rotated out when oov_rate landed) and (b) the three
     # model-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1442,6 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "stack_stats": _q_stack_stats,
+        "url_domains": _q_url_domains,
+        "domain_mix": _q_domain_mix,
+        "oov_rate": _q_oov_rate,
         "event_sessions": _q_event_sessions,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
@@ -1452,9 +1527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
-        "doc_chunks": _q_doc_chunks,
-        "stopword_ratio": _q_stopword_ratio,
-        "label_centroids": _q_label_centroids,
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
@@ -1481,6 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "label_centroids": _q_label_centroids,
+        "doc_chunks": _q_doc_chunks,
+        "stopword_ratio": _q_stopword_ratio,
         "length_outliers": _q_length_outliers,
         "dp_noise": _q_dp_noise,
         "validity_counts": _q_validity_counts,
@@ -1803,6 +1878,90 @@ def _dp_noise_sql() -> str:
 
 
 _DP_NOISE_SQL = _dp_noise_sql()
+
+
+#: shared by the url_domains and domain_mix oracles — synthesized messy URLs
+#: (mirrors _url_expr verbatim) parsed exactly as functions/urls.py does:
+#: fragment off, scheme off, userinfo off, port split, lower + trailing-dot
+#: strip, registrable domain via the TWO_LEVEL_TLDS subset.
+_URL_TLDS_SQL = (
+    "('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp','com.au',"
+    "'net.au','org.au','com.br','com.cn','com.mx','co.in','co.nz','co.za',"
+    "'com.ar','com.tr')"
+)
+
+_URL_CTE = """u AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 4 = 0 THEN 'https://'
+                      WHEN doc_id % 4 = 1 THEN 'HTTP://'
+                      WHEN doc_id % 4 = 2 THEN 'http://' ELSE '' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END)
+                || 'WWW' || CAST(doc_id % 3 AS VARCHAR) || '.'
+                || coalesce(regexp_extract(text, '^([^ ]+)', 1), '')
+                || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+                    ELSE '.example.com' END)
+                || (CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END)
+                || (CASE WHEN doc_id % 6 = 0 THEN ':443'
+                         WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END)
+                || (CASE WHEN doc_id % 2 = 0 THEN '/' ||
+                    coalesce(regexp_extract(text, '^[^ ]+ ([^ ]+)', 1), '')
+                    || '/page' ELSE '' END)
+                || (CASE WHEN doc_id % 9 = 0 THEN '#Section-1' ELSE '' END)
+                AS url
+              FROM documents
+            ),
+            pre AS (
+              SELECT doc_id, url,
+                lower(coalesce(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS scheme,
+                regexp_replace(regexp_replace(url, '#.*', ''),
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM u
+            ),
+            hp AS (
+              SELECT doc_id, url, scheme, rest,
+                regexp_replace(coalesce(regexp_extract(rest,
+                  '^([^/?#]*)', 1), ''), '^[^@]*@', '') AS hostport
+              FROM pre
+            ),
+            hh AS (
+              SELECT doc_id, url, scheme, hostport,
+                regexp_replace(lower(regexp_replace(hostport,
+                  ':[0-9]*$', '')), '\\.+$', '') AS host,
+                coalesce(regexp_extract(hostport, ':([0-9]+)$', 1), '')
+                  AS port,
+                regexp_replace(rest, '^[^/?#]*', '') AS pq
+              FROM hp
+            ),
+            parsed AS (
+              SELECT doc_id, url, scheme, host, port, pq,
+                string_split(host, '.') AS parts
+              FROM hh
+            ),
+            dom AS (
+              SELECT doc_id, url, scheme, host, port, pq,
+                CASE WHEN len(parts) < 2 THEN host
+                     WHEN regexp_matches(host, '^[0-9.]+$') THEN host
+                     WHEN len(parts) >= 3 AND
+                       (parts[-2] || '.' || parts[-1]) IN {tlds}
+                       THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                     ELSE parts[-2] || '.' || parts[-1] END AS domain
+              FROM parsed
+            ),
+            norm AS (
+              SELECT doc_id, url, host, domain,
+                (CASE WHEN scheme = '' THEN 'http' ELSE scheme END)
+                || '://' || host ||
+                (CASE WHEN port = '' THEN ''
+                      WHEN (CASE WHEN scheme = '' THEN 'http'
+                            ELSE scheme END) = 'http' AND port = '80' THEN ''
+                      WHEN (CASE WHEN scheme = '' THEN 'http'
+                            ELSE scheme END) = 'https' AND port = '443'
+                        THEN ''
+                      ELSE ':' || port END) ||
+                (CASE WHEN pq = '' THEN '/' ELSE pq END) AS url_norm
+              FROM dom
+            )""".replace("{tlds}", _URL_TLDS_SQL)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2936,6 +3095,55 @@ def oracle_sql() -> dict[str, str]:
               (mean_ll <= 100.0 AND mll <= 1000 AND af >= 0.25
                AND ef <= 0.5 AND NOT autogen) AS stack_keep
             FROM f
+        """,
+        "url_domains": f"""
+            -- URL parsing family; mirrors functions/urls.py exactly (see
+            -- _URL_CTE): host = authority minus userinfo/port, lowered,
+            -- trailing dots stripped; naive registrable domain with the
+            -- TWO_LEVEL_TLDS subset; normalized URL with default ports
+            -- dropped and empty path -> /.
+            WITH {_URL_CTE}
+            SELECT doc_id, url, host, domain, url_norm FROM norm
+        """,
+        "domain_mix": f"""
+            -- corpus domain mix over the same synthesized URLs
+            WITH {_URL_CTE}
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(count(*)::DOUBLE / (SELECT count(*) FROM u), 4)::DOUBLE
+                     AS frac
+            FROM norm GROUP BY domain
+        """,
+        "oov_rate": r"""
+            -- tokenizer coverage; mirrors operators/text_analysis.py
+            -- build_vocab + oov_stats: vocab = top-50 lowercased tokens of
+            -- even docs (count desc, token asc — deterministic boundary),
+            -- per-doc OOV over all docs
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(regexp_replace(lower(text),
+                  '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g'),
+                  '[ \t\r\f\n]+')) AS token
+              FROM documents
+              WHERE length(regexp_replace(lower(text),
+                '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g')) > 0
+            ),
+            vocab AS (
+              SELECT token FROM toks WHERE doc_id % 2 = 0
+              GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 50
+            ),
+            per AS (
+              SELECT t.doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM toks t LEFT JOIN vocab v USING (token)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+              CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
+              round(CASE WHEN coalesce(per.n_tokens, 0) > 0
+                THEN coalesce(per.n_oov, 0)::DOUBLE / per.n_tokens
+                ELSE 0.0 END, 4)::DOUBLE AS oov_rate
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "repetition_stats": r"""
             -- Gopher repetition features; mirrors functions/repetition.py

@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "repetition_stats", "paragraph_dedup", "decontaminate",
     "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
     "shard_pack", "sequence_pack", "dsir_select",
+    "gopher_quality", "c4_clean", "stack_stats",
 ]
 
 

@@ -143,3 +143,84 @@ def doc_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, top_k: int = 10_000, lowercase: bool = True
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` whitespace tokens by occurrence
+    count, with a deterministic total order (count desc, token asc) and a
+    1-based rank. Tokenizer-coverage companion of ``oov_stats``.
+
+    Scale shape: one shuffle keyed on the token string with map-side
+    combine, then ``TakeOrderedAndProject`` for the top-k; the rank window
+    runs over the already-limited k-row frame (bounded, single partition of
+    k rows — never the corpus). No counterpart in the reference (its
+    profiling is per-column stats, profiler.py)."""
+    from pyspark.sql import Window
+
+    from llm_tab_cleaner_spark.functions.repetition import words_expr
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = df.select(F.explode(words_expr(t)).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def oov_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_df: DataFrame,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats against ``vocab_df`` (any frame
+    with a ``token`` column — typically ``build_vocab`` output): token
+    count, OOV token count, and the OOV rate (rounded to 4; 0.0 for empty
+    docs). The standard tokenizer-coverage / domain-shift signal a
+    pretraining pipeline computes before committing to a tokenizer.
+
+    Scale shape: vocabularies are small (10^4-10^6 tokens) so the vocab
+    side broadcasts — the corpus tokens never shuffle for the membership
+    test; the per-doc aggregation shuffles only (id, two partial counts)
+    with map-side combine."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    from llm_tab_cleaner_spark.functions.repetition import words_expr
+
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(words_expr(t)).alias("token"))
+    vocab = F.broadcast(
+        vocab_df.select("token").distinct().withColumn("_in_vocab", F.lit(1))
+    )
+    per_doc = (
+        toks.join(vocab, "token", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.round(
+                F.when(
+                    F.coalesce("n_tokens", F.lit(0)) > 0,
+                    F.coalesce("n_oov", F.lit(0))
+                    / F.coalesce("n_tokens", F.lit(1)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            )
+            .cast("double")
+            .alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""URL/domain family (functions/urls.py): parsing goldens over the messy
+forms a web corpus actually contains, normalization idempotence, domain
+grouping/filtering, and plan guards (pure projections)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# (url, host, domain, url_norm) goldens — the contract, hand-derived
+CASES = [
+    (
+        "https://www.Example.COM/path?q=1#frag",
+        "www.example.com",
+        "example.com",
+        "https://www.example.com/path?q=1",
+    ),
+    ("http://example.com:80/a", "example.com", "example.com", "http://example.com/a"),
+    (
+        "https://example.com:443",
+        "example.com",
+        "example.com",
+        "https://example.com/",
+    ),
+    (
+        "https://example.com:8443/x",
+        "example.com",
+        "example.com",
+        "https://example.com:8443/x",
+    ),
+    (
+        "HTTP://user:pw@Sub.Site.co.uk./news",
+        "sub.site.co.uk",
+        "site.co.uk",
+        "http://sub.site.co.uk/news",
+    ),
+    ("example.org/bare", "example.org", "example.org", "http://example.org/bare"),
+    ("http://localhost:8080/x", "localhost", "localhost", "http://localhost:8080/x"),
+    ("https://127.0.0.1/x", "127.0.0.1", "127.0.0.1", "https://127.0.0.1/x"),
+    (
+        "ftp://files.example.com/pub",
+        "files.example.com",
+        "example.com",
+        "ftp://files.example.com/pub",
+    ),
+    ("https://xn--bcher-kva.tld/x", "xn--bcher-kva.tld", "xn--bcher-kva.tld",
+     "https://xn--bcher-kva.tld/x"),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    from llm_tab_cleaner_spark.functions.urls import with_url_columns
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_rest) in enumerate(CASES)], "i long, url string"
+    )
+    rows = with_url_columns(df, "url").orderBy("i").collect()
+    return rows
+
+
+def test_url_parsing_goldens(parsed):
+    for row, (url, host, domain, norm) in zip(parsed, CASES):
+        assert row["host"] == host, url
+        assert row["domain"] == domain, url
+        assert row["url_norm"] == norm, url
+
+
+def test_normalize_idempotent(spark, parsed):
+    """normalize(normalize(u)) == normalize(u) — canonical forms are fixed
+    points (the property URL-dedup correctness rests on)."""
+    from llm_tab_cleaner_spark.functions.urls import url_normalize
+
+    df = spark.createDataFrame(
+        [(r["url_norm"],) for r in parsed], "url string"
+    )
+    again = df.select(url_normalize(F.col("url")).alias("n"), "url").collect()
+    for r in again:
+        assert r["n"] == r["url"]
+
+
+def test_domain_stats_and_filter(spark):
+    from llm_tab_cleaner_spark.functions.urls import domain_filter, domain_stats
+
+    urls = (
+        ["https://a.good.com/%d" % i for i in range(6)]
+        + ["http://sub.bad.com/%d" % i for i in range(3)]
+        + ["https://ok.org/x"]
+    )
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    stats = {r["domain"]: (r["n_docs"], r["frac"]) for r in domain_stats(df).collect()}
+    assert stats["good.com"] == (6, 0.6)
+    assert stats["bad.com"] == (3, 0.3)
+    assert stats["ok.org"] == (1, 0.1)
+    kept = domain_filter(df, blocklist=("bad.com",)).count()
+    assert kept == 7
+    only = domain_filter(df, allowlist=("ok.org",)).count()
+    assert only == 1
+
+
+def test_url_plan_is_pure_projection(spark):
+    from llm_tab_cleaner_spark.functions.urls import with_url_columns
+
+    df = spark.createDataFrame([(1, "https://a.b.c/x")], "i long, url string")
+    plan = (
+        with_url_columns(df, "url")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()

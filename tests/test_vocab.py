@@ -1,0 +1,78 @@
+"""Vocabulary / OOV-rate operators (operators/text_analysis.py:
+build_vocab, oov_stats): hand-derived goldens, empty-doc paths, and the
+broadcast-membership plan guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "THE dog ate the cat"),
+    (2, "a brand new zebra"),
+    (3, ""),
+    (4, "   \t  "),
+    (5, "cat cat cat"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_build_vocab_order_and_rank(docs_df):
+    from llm_tab_cleaner_spark.operators.text_analysis import build_vocab
+
+    rows = build_vocab(docs_df, "text", top_k=3).collect()
+    # counts: the=4, cat=5? -> cat appears 1+1+3=5, the=2+2=4
+    assert [(r["token"], r["n_occurrences"], r["rank"]) for r in rows] == [
+        ("cat", 5, 1),
+        ("the", 4, 2),
+        # count-1 tie broken by token asc: 'a' wins among the singletons
+        ("a", 1, 3),
+    ]
+
+
+def test_oov_stats_goldens(spark, docs_df):
+    from llm_tab_cleaner_spark.operators.text_analysis import oov_stats
+
+    vocab = spark.createDataFrame([("the",), ("cat",)], "token string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_stats(docs_df, "doc_id", "text", vocab).collect()
+    }
+    assert got[0] == (6, 3, 0.5)  # sat on mat OOV
+    assert got[1] == (5, 2, 0.4)  # dog ate OOV ('THE' lowercased in-vocab)
+    assert got[2] == (4, 4, 1.0)
+    assert got[3] == (0, 0, 0.0)  # empty doc
+    assert got[4] == (0, 0, 0.0)  # whitespace-only doc
+    assert got[5] == (3, 0, 0.0)
+
+
+def test_oov_lowercase_off(spark, docs_df):
+    from llm_tab_cleaner_spark.operators.text_analysis import oov_stats
+
+    vocab = spark.createDataFrame([("the",), ("cat",)], "token string")
+    got = {
+        r["doc_id"]: r["n_oov"]
+        for r in oov_stats(
+            docs_df, "doc_id", "text", vocab, lowercase=False
+        ).collect()
+    }
+    assert got[1] == 3  # 'THE' no longer matches
+
+
+def test_oov_plan_broadcasts_vocab(spark, docs_df):
+    from llm_tab_cleaner_spark.operators.text_analysis import oov_stats
+
+    vocab = spark.createDataFrame([("the",)], "token string")
+    plan = (
+        oov_stats(docs_df, "doc_id", "text", vocab)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
