@@ -584,6 +584,15 @@ def _batch_token_ngram_hashes(
     keeps multiplicity in document order (bag-of-n-grams semantics — what
     likelihood-ratio scoring over gram counts needs, operators/selection)."""
     h, tok_row, rows = _batch_token_hashes(texts)
+    return _ngrams_from_tokens(h, tok_row, rows, n, distinct)
+
+
+def _ngrams_from_tokens(
+    h: np.ndarray, tok_row: np.ndarray, rows: int, n: int, distinct: bool
+) -> list[np.ndarray]:
+    """n-gram combination stage of _batch_token_ngram_hashes, split out so
+    multi-n consumers (token_multi_ngram_hashes) can reuse ONE token-hash
+    kernel pass for every n."""
     empty = np.zeros(0, dtype=np.int64)
     if h.size < n:
         return [empty] * rows
@@ -631,6 +640,46 @@ def token_ngram_hashes(
             for chunk in _byte_chunks(texts):
                 yield pd.Series(
                     [g for g in _batch_token_ngram_hashes(chunk, n, distinct)],
+                    dtype=object,
+                )
+
+    return df.select(*id_cols, gram_udf(F.col(content_col)).alias("gram_hashes"))
+
+
+def token_multi_ngram_hashes(
+    df: DataFrame,
+    id_cols: list[str],
+    content_col: str,
+    n_values: tuple[int, ...],
+    distinct: bool = False,
+) -> DataFrame:
+    """id_cols + one array<long> holding the token-n-gram hashes for EVERY
+    ``n`` in ``n_values``, concatenated per row — the multiset union of the
+    per-n ``token_ngram_hashes`` outputs, from ONE tokenization pass over
+    the text instead of ``len(n_values)`` (at corpus scale each pass is a
+    full read + UTF-8 token scan, so this halves the DSIR feature-
+    extraction cost for the paper's unigram+bigram operating point).
+    ``distinct`` applies per (row, n) — identical semantics to running the
+    single-n operator per n and unioning."""
+    if not n_values:
+        raise ValueError("n_values must be non-empty")
+
+    @F.pandas_udf("array<long>")
+    def gram_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # byte-bounded chunks: shares _batch_token_hashes' working set
+        # (see _DEDUP_CHUNK_BYTES); grams are row-local
+        for texts in it:
+            for chunk in _byte_chunks(texts):
+                h, tok_row, rows = _batch_token_hashes(chunk)
+                per_n = [
+                    _ngrams_from_tokens(h, tok_row, rows, n, distinct)
+                    for n in n_values
+                ]
+                yield pd.Series(
+                    [
+                        np.concatenate([per_n[j][r] for j in range(len(n_values))])
+                        for r in range(rows)
+                    ],
                     dtype=object,
                 )
 

@@ -13,8 +13,8 @@ target distribution.
 
 Spark-first shape (per-step scale notes in the function docstring):
 gram extraction rides the same vectorized Arrow kernel the dedup family
-uses (operators/dedup.py:token_ngram_hashes — one pass, byte-bounded
-chunks); count estimation is two map-side-combined aggregations whose
+uses (operators/dedup.py:token_multi_ngram_hashes — ONE tokenization pass
+produces every n-gram order, byte-bounded chunks); count estimation is two map-side-combined aggregations whose
 shuffle payload is (8-byte gram hash, partial count) pairs, never text;
 scoring is a join against the gram log-ratio table + a per-doc sum with
 map-side partial aggregation.
@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from llm_tab_cleaner_spark.operators.dedup import token_ngram_hashes
+from llm_tab_cleaner_spark.operators.dedup import token_multi_ngram_hashes
 
 #: Default n-gram orders — the DSIR paper's unigram + bigram features.
 DSIR_N_VALUES = (1, 2)
@@ -39,19 +39,13 @@ def gram_occurrences(
 ) -> DataFrame:
     """id_cols + one row per token-n-gram OCCURRENCE (multiplicity kept —
     bag-of-n-grams semantics), gram identity as the kernel's 64-bit hash
-    ``gh``. One kernel pass per n; tokenization is the shared ASCII-ws
-    split, so gram counts here agree with the Jaccard/decontaminate family
-    barring ~2^-64 hash collisions."""
-    parts = [
-        token_ngram_hashes(df, id_cols, text_col, n, distinct=False).select(
-            *id_cols, F.explode("gram_hashes").alias("gh")
-        )
-        for n in n_values
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ``gh``. ONE kernel pass for all n (token_multi_ngram_hashes — the text
+    is read and tokenized once, not once per n); tokenization is the
+    shared ASCII-ws split, so gram counts here agree with the
+    Jaccard/decontaminate family barring ~2^-64 hash collisions."""
+    return token_multi_ngram_hashes(
+        df, id_cols, text_col, tuple(n_values), distinct=False
+    ).select(*id_cols, F.explode("gram_hashes").alias("gh"))
 
 
 def dsir_log_weights(

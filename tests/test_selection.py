@@ -327,3 +327,48 @@ def test_quality_buckets(spark):
         quality_buckets(df, "source", "score", cuts=(0.5,), labels=("x",))
     with pytest.raises(ValueError):
         quality_buckets(df, "source", "score", cuts=(0.9, 0.1))
+
+
+def test_multi_ngram_kernel_equals_per_n_union(spark):
+    """token_multi_ngram_hashes (one tokenization pass) must produce the
+    exact multiset union of the per-n token_ngram_hashes outputs — the
+    invariant the DSIR gram_occurrences refactor rests on."""
+    from pyspark.sql import functions as F
+
+    from llm_tab_cleaner_spark.operators.dedup import (
+        token_multi_ngram_hashes,
+        token_ngram_hashes,
+    )
+
+    docs = [
+        (0, "a b c d e"),
+        (1, "x"),
+        (2, ""),
+        (3, "  padded   tokens  here "),
+        (4, "dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    multi = (
+        token_multi_ngram_hashes(df, ["doc_id"], "text", (1, 2), distinct=False)
+        .select("doc_id", F.explode("gram_hashes").alias("gh"))
+        .collect()
+    )
+    singles = []
+    for n in (1, 2):
+        singles += (
+            token_ngram_hashes(df, ["doc_id"], "text", n, distinct=False)
+            .select("doc_id", F.explode("gram_hashes").alias("gh"))
+            .collect()
+        )
+    key = lambda r: (r["doc_id"], r["gh"])  # noqa: E731
+    assert sorted(map(key, multi)) == sorted(map(key, singles))
+    # distinct=True variant dedups per (row, n): 'dup dup dup dup' keeps one
+    # unigram + one bigram
+    d = (
+        token_multi_ngram_hashes(df, ["doc_id"], "text", (1, 2), distinct=True)
+        .filter(F.col("doc_id") == 4)
+        .select(F.size("gram_hashes").alias("s"))
+        .first()["s"]
+    )
+    assert d == 2
