@@ -1410,6 +1410,15 @@ def _q_simhash_pairs(spark, sf):
     )
 
 
+def _q_compress_stats(spark, sf):
+    """zlib compression-ratio quality signal (RedPajama-v2-style) — rows-only
+    (no SQL zlib); value behavior is pytest-golden-verified against the same
+    codec (tests/test_webquality.py)."""
+    from llm_tab_cleaner_spark.functions.webquality import compression_stats
+
+    return compression_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q_quality_filter_docs(spark, sf):
     """Full pipeline (scorer UDF included) — rows-only driver check."""
     from llm_tab_cleaner_spark import CleanPipeline
@@ -1496,8 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — ≥3 green rounds, chunking/token mechanisms adjacent to bpe_tokens/
     # doc_stats in head — rotated out when the URL family
     # url_domains/domain_mix landed; label_centroids — centroid mechanism
-    # adjacent to ivf_assign in head — rotated out when oov_rate landed) and (b) the three
-    # model-backed rows-only queries.
+    # adjacent to ivf_assign in head — rotated out when oov_rate landed)
+    # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
         "pricing_summary": _q_pricing_summary,
@@ -1579,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_pairs_count": _q_dup_pairs_count,
         "corr_price_qty": _q_corr_price_qty,
         "exact_dedup_prefix": _q_exact_dedup_prefix,
+        "compress_stats": _q_compress_stats,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "quality_filter_docs": _q_quality_filter_docs,

@@ -294,3 +294,52 @@ def test_webquality_plans_are_pure_projections(spark):
         .toString()
     )
     assert "lambdafunction" not in gplan.lower()
+
+
+def test_compression_stats_goldens(spark):
+    """compress ratio must equal the same zlib codec run driver-side, and
+    the keep flag must separate repetitive / normal / incompressible docs."""
+    import zlib
+
+    from llm_tab_cleaner_spark.functions.webquality import compression_stats
+
+    cases = [
+        "spam spam spam " * 200,                       # highly repetitive
+        GOOD_PROSE,                                    # normal text
+        "".join(chr(33 + ((i * 7919) % 90)) for i in range(400)),  # noisy
+        "",                                            # empty
+        "x",                                           # tiny
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in compression_stats(df, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(cases):
+        b = t.encode("utf-8")
+        assert got[i]["n_bytes"] == len(b)
+        exp_comp = len(zlib.compress(b, 6)) if b else 0
+        assert got[i]["n_bytes_compressed"] == exp_comp, i
+        exp_ratio = _r4(exp_comp / len(b)) if b else 0.0
+        assert got[i]["compress_ratio"] == pytest.approx(exp_ratio)
+    assert got[0]["compress_ratio"] < 0.05 and got[0]["compress_keep"] is False
+    assert got[1]["compress_keep"] is True
+    assert got[4]["compress_ratio"] > 1.0 and got[4]["compress_keep"] is False
+    assert got[3]["compress_keep"] is False  # empty fails the floor
+
+
+def test_compression_plan_single_arrow_stage(spark):
+    from llm_tab_cleaner_spark.functions.webquality import compression_stats
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = (
+        compression_stats(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
