@@ -18,6 +18,8 @@ SUBSET = [
     "learned_patterns", "learned_fuzzy", "license_stats", "comment_stats",
     "dsir_select", "dedup_clusters",
     "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
+    "gopher_quality", "c4_clean", "stack_stats", "url_domains", "domain_mix",
+    "oov_rate",
 ]
 
 
@@ -51,4 +53,7 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert not missing  # every oracle key must have a query
     # UDF/model-backed ops are the only ones allowed to skip the oracle
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle <= {"minhash_pairs", "simhash_pairs", "quality_filter_docs"}
+    assert no_oracle <= {
+        "minhash_pairs", "simhash_pairs", "quality_filter_docs",
+        "compress_stats",  # zlib codec — no SQL twin exists
+    }
