@@ -1465,6 +1465,34 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_near_dup_keep(spark, sf):
+    """End-to-end near-dup WINNER semantics (the stage dedup_clusters stops
+    short of): token-3-gram Jaccard pairs → connected components → keep the
+    min-id doc of every cluster plus every unpaired doc. The oracle replays
+    pairs + recursive-CTE closure + the loser anti-join, so the survivor
+    SET itself — what a real pipeline writes out — is value-verified."""
+    d = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2)
+    kept = dedup.near_dup_keep(d.select("doc_id"), "doc_id", pairs)
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _q_skew_report(spark, sf):
+    """Shuffle-key skew diagnostics (operators/profiler.key_skew_report)
+    over orders.o_custkey — distinct keys, per-key count stats, max/mean
+    skew ratio, hottest key's row share."""
+    from llm_tab_cleaner_spark.operators.profiler import key_skew_report
+
+    return key_skew_report(_t(spark, sf, "orders"), "o_custkey").select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_per_key").cast("bigint").alias("max_per_key"),
+        "mean_per_key",
+        "skew_ratio",
+        "top1_share",
+    )
+
+
 def _q_ngram_jaccard(spark, sf):
     d = _t(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2).select(
@@ -1505,7 +1533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — ≥3 green rounds, chunking/token mechanisms adjacent to bpe_tokens/
     # doc_stats in head — rotated out when the URL family
     # url_domains/domain_mix landed; label_centroids — centroid mechanism
-    # adjacent to ivf_assign in head — rotated out when oov_rate landed)
+    # adjacent to ivf_assign in head — rotated out when oov_rate landed;
+    # deterministic_sample/dataset_splits — ≥3 green rounds, the
+    # md5-fraction machinery also lives in mixture_sample/weighted_sample/
+    # dsir_select in head — rotated out when near_dup_keep/skew_report
+    # landed)
     # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1540,8 +1572,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
         "keyword_langid": _q_keyword_langid,
-        "deterministic_sample": _q_deterministic_sample,
-        "dataset_splits": _q_dataset_splits,
         "calibration_metrics": _q_calibration_metrics,
         "cosine_topk": _q_cosine_topk,
         "knn_brute": _q_knn_brute,
@@ -1556,12 +1586,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_stats": _q_import_stats,
         "pipeline_corpus_gate": _q_pipeline_corpus_gate,
         "dedup_clusters": _q_dedup_clusters,
+        "near_dup_keep": _q_near_dup_keep,
+        "skew_report": _q_skew_report,
         "repetition_stats": _q_repetition_stats,
         "paragraph_dedup": _q_paragraph_dedup,
         "decontaminate": _q_decontaminate,
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "deterministic_sample": _q_deterministic_sample,
+        "dataset_splits": _q_dataset_splits,
         "label_centroids": _q_label_centroids,
         "doc_chunks": _q_doc_chunks,
         "stopword_ratio": _q_stopword_ratio,
@@ -3122,6 +3156,45 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*)::DOUBLE / (SELECT count(*) FROM u), 4)::DOUBLE
                      AS frac
             FROM norm GROUP BY domain
+        """,
+        "near_dup_keep": """
+            -- survivor set of winner-per-cluster near-dup dedup: same pair
+            -- CTE as ngram_jaccard/dedup_clusters, transitive closure,
+            -- losers = nodes whose min reachable id is smaller than self,
+            -- survivors = everything else
+            WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+            p AS (
+              SELECT id_a, id_b FROM inter
+              WHERE round(inter * 1.0 / (na + nb - inter), 4) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p
+            ),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            losers AS (
+              SELECT src AS doc_id FROM reach
+              GROUP BY src HAVING least(src, min(dst)) <> src
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """.replace("{_NGRAM_PAIRS_CTE}", _NGRAM_PAIRS_CTE),
+        "skew_report": r"""
+            -- shuffle-key skew diagnostics over orders.o_custkey
+            WITH per_key AS (
+              SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_per_key,
+                   round(avg(cnt), 4)::DOUBLE AS mean_per_key,
+                   round(max(cnt) / avg(cnt), 4)::DOUBLE AS skew_ratio,
+                   round(max(cnt)::DOUBLE / sum(cnt), 4)::DOUBLE AS top1_share
+            FROM per_key
         """,
         "oov_rate": r"""
             -- tokenizer coverage; mirrors operators/text_analysis.py

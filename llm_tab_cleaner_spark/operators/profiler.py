@@ -361,3 +361,25 @@ def calibration_bins(df: DataFrame, conf_col: str, label_col: str, n_bins: int =
             F.round(F.avg(F.col(label_col).cast("double")), 4).alias("avg_label"),
         )
     )
+
+
+def key_skew_report(df, key_col: str):
+    """Shuffle-key skew diagnostics: one row with the distinct-key count,
+    per-key count stats, the max/mean skew ratio, and the hottest key's
+    share of all rows. The check a pipeline runs BEFORE keying a shuffle on
+    a column — a skew ratio in the tens means the biggest reducer runs that
+    many times longer than average (mitigations: salting via
+    PipelineConfig.num_partitions, AQE skew-join). One aggregation pass,
+    map-side combinable; no counterpart in the reference (its profiler is
+    per-column value stats, profiler.py:79-199)."""
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.avg("cnt"), 4).cast("double").alias("mean_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).cast("double").alias("skew_ratio"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).cast("double").alias("top1_share"),
+    )

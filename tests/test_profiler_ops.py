@@ -99,3 +99,17 @@ def test_email_domains(spark):
     out = profiler.email_domains(spark.createDataFrame(pdf), "text").toPandas()
     got = dict(zip(out.domain, out.cnt))
     assert got == {"example.com": 1, "test.org": 3}
+
+
+def test_key_skew_report(spark):
+    from llm_tab_cleaner_spark.operators.profiler import key_skew_report
+
+    df = spark.createDataFrame(
+        [("hot",)] * 8 + [("a",), ("b",)], "k string"
+    )
+    r = key_skew_report(df, "k").first()
+    assert r["n_keys"] == 3 and r["n_rows"] == 10
+    assert r["max_per_key"] == 8
+    assert r["mean_per_key"] == pytest.approx(3.3333)
+    assert r["skew_ratio"] == pytest.approx(2.4)
+    assert r["top1_share"] == pytest.approx(0.8)

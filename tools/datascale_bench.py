@@ -150,11 +150,76 @@ def main() -> None:
             df, "doc_id", "text", k=20, window=16, min_shared=2
         ).write.format("noop").mode("overwrite").save()
 
+    def q_gopher(df):
+        from llm_tab_cleaner_spark.functions.webquality import gopher_quality_stats
+
+        gopher_quality_stats(df, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_c4(df):
+        from llm_tab_cleaner_spark.functions.webquality import c4_clean
+
+        c4_clean(df, "doc_id", "text").drop("text_clean").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def q_stack(df):
+        from llm_tab_cleaner_spark.functions.webquality import code_quality_stats
+
+        code_quality_stats(df, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_compress(df):
+        from llm_tab_cleaner_spark.functions.webquality import compression_stats
+
+        compression_stats(df, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_url(df):
+        from llm_tab_cleaner_spark.functions.urls import domain_stats
+
+        u = df.select(
+            F.concat(
+                F.lit("https://"),
+                F.regexp_extract("text", "^([^ ]+)", 1),
+                F.lit(".example.com/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url")
+        )
+        domain_stats(u, "url").write.format("noop").mode("overwrite").save()
+
+    def q_oov(df):
+        from llm_tab_cleaner_spark.operators.text_analysis import (
+            build_vocab,
+            oov_stats,
+        )
+
+        vocab = build_vocab(df.filter(F.col("doc_id") % 2 == 0), "text", 50)
+        oov_stats(df, "doc_id", "text", vocab).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_dsir(df):
+        from llm_tab_cleaner_spark.operators.selection import dsir_log_weights
+
+        # target scales with the frame (each copy contributes its own %10
+        # members whose grams match only that copy's rotation) — linear
+        dsir_log_weights(
+            df, "doc_id", "text", df.filter(F.col("doc_id") % 10 == 0)
+        ).write.format("noop").mode("overwrite").save()
+
     all_ops = [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
                ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
                ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam),
                ("shard_pack", q_shard_pack), ("sequence_pack", q_sequence_pack),
-               ("winnow_pairs", q_winnow)]
+               ("winnow_pairs", q_winnow),
+               ("gopher_quality", q_gopher), ("c4_clean", q_c4),
+               ("stack_stats", q_stack), ("compress_stats", q_compress),
+               ("domain_mix", q_url), ("oov_rate", q_oov),
+               ("dsir_weights", q_dsir)]
     only = set(sys.argv[2:])
     if only:
         all_ops = [(n, q) for n, q in all_ops if n in only]
