@@ -1028,6 +1028,20 @@ def _q_domain_mix(spark, sf):
     )
 
 
+def _q_domain_cap(spark, sf):
+    """Per-domain anti-domination cap over the same synthesized URLs:
+    keep <= 3 docs per registrable domain, winners ranked by md5(url)
+    (deterministic, content-independent) — the id_col form whose window
+    ranks a slim projection and semi-joins winners back."""
+    from llm_tab_cleaner_spark.functions.urls import domain_cap
+
+    d = _t(spark, sf, "documents")
+    u = d.select("doc_id", _url_expr().alias("url"))
+    return domain_cap(u, "url", max_per_domain=3, id_col="doc_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
 def _q_oov_rate(spark, sf):
     """Tokenizer-coverage analysis: vocabulary = top-50 lowercased tokens of
     the even-doc half (deterministic count-desc/token-asc order), per-doc
@@ -1537,7 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic_sample/dataset_splits — ≥3 green rounds, the
     # md5-fraction machinery also lives in mixture_sample/weighted_sample/
     # dsir_select in head — rotated out when near_dup_keep/skew_report
-    # landed)
+    # landed; bpe_tokens — token-count family also in token_topk/oov_rate
+    # in head — rotated out when domain_cap_docs landed)
     # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1557,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_stats": _q_stack_stats,
         "url_domains": _q_url_domains,
         "domain_mix": _q_domain_mix,
+        "domain_cap_docs": _q_domain_cap,
         "oov_rate": _q_oov_rate,
         "event_sessions": _q_event_sessions,
         "profile_orders": _q_profile_orders,
@@ -1567,7 +1583,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_topk": _q_token_topk,
         "quality_by_source": _q_quality_by_source,
-        "bpe_tokens": _q_bpe_tokens,
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
@@ -1594,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "bpe_tokens": _q_bpe_tokens,
         "deterministic_sample": _q_deterministic_sample,
         "dataset_splits": _q_dataset_splits,
         "label_centroids": _q_label_centroids,
@@ -3156,6 +3172,17 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*)::DOUBLE / (SELECT count(*) FROM u), 4)::DOUBLE
                      AS frac
             FROM norm GROUP BY domain
+        """,
+        "domain_cap_docs": f"""
+            -- per-domain cap over the shared URL CTE: <= 3 winners per
+            -- registrable domain by (md5(url), url, doc_id)
+            WITH {_URL_CTE},
+            ranked AS (
+              SELECT doc_id, row_number() OVER (
+                PARTITION BY domain ORDER BY md5(url), url, doc_id) AS rn
+              FROM norm
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM ranked WHERE rn <= 3
         """,
         "near_dup_keep": """
             -- survivor set of winner-per-cluster near-dup dedup: same pair

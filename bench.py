@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
     "shard_pack", "sequence_pack", "dsir_select",
     "gopher_quality", "c4_clean", "stack_stats",
+    "url_domains", "domain_mix", "domain_cap_docs", "oov_rate",
+    "compress_stats", "near_dup_keep", "skew_report",
 ]
 
 

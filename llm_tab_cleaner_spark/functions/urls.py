@@ -157,3 +157,47 @@ def domain_filter(
     if allowlist:
         out = out.filter(dom.isin(*allowlist))
     return out
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str = "url",
+    max_per_domain: int = 1000,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` rows per registrable domain — the
+    standard anti-domination policy (one mirror farm must not become 5% of
+    the corpus). Selection is DETERMINISTIC and content-independent: rows
+    rank by ``md5(url)`` (tie-broken by url, then ``id_col`` when given) so
+    reruns and resumes keep the same winners regardless of partitioning.
+
+    Scale shape: one shuffle keyed on the domain string for the window
+    rank. Hot domains ARE the expected skew here (that is why the cap
+    exists) — a single domain's rows land on one reducer, so at 100 TB run
+    this after the exact-dedup stage (which collapses most of a hot
+    domain's mass) and lean on AQE skew-split. With ``id_col`` given (the
+    100 TB form) the window ranks a SLIM (id, url, domain) projection and
+    the winner ids semi-join back — content never rides the skewed
+    shuffle. Without an id there is no join key, so the window carries the
+    full rows (fine for narrow frames). For pathological single-domain
+    corpora, pre-filter with ``domain_stats`` and handle the giants
+    out-of-band."""
+    from pyspark.sql import Window
+
+    dom = registrable_domain(url_host(F.col(url_col)))
+    if id_col:
+        order = [F.md5(F.col(url_col)), F.col(url_col), F.col(id_col)]
+        w = Window.partitionBy("_dom").orderBy(*order)
+        winners = (
+            df.select(id_col, url_col, dom.alias("_dom"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_domain)
+            .select(id_col)
+        )
+        return df.join(winners, id_col, "left_semi")
+    w = Window.partitionBy(dom).orderBy(F.md5(F.col(url_col)), F.col(url_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_domain)
+        .drop("_rn")
+    )

@@ -19,7 +19,7 @@ SUBSET = [
     "dsir_select", "dedup_clusters",
     "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
     "gopher_quality", "c4_clean", "stack_stats", "url_domains", "domain_mix",
-    "oov_rate", "near_dup_keep", "skew_report",
+    "oov_rate", "near_dup_keep", "skew_report", "domain_cap_docs",
 ]
 
 

@@ -111,3 +111,30 @@ def test_url_plan_is_pure_projection(spark):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_domain_cap_deterministic_and_semi_join(spark):
+    from llm_tab_cleaner_spark.functions.urls import domain_cap
+
+    urls = [(i, "https://hot.com/p%d" % i, "body%d" % i) for i in range(10)] + [
+        (100, "https://cold.org/x", "bodyc")
+    ]
+    df = spark.createDataFrame(urls, "id long, url string, content string")
+    kept = domain_cap(df, "url", max_per_domain=4, id_col="id")
+    assert kept.count() == 5  # 4 of hot.com + 1 of cold.org
+    # deterministic: same winners on rerun and under different partitioning
+    ids1 = sorted(r["id"] for r in kept.select("id").collect())
+    ids2 = sorted(
+        r["id"]
+        for r in domain_cap(df.repartition(7), "url", 4, id_col="id")
+        .select("id")
+        .collect()
+    )
+    assert ids1 == ids2
+    # id-less form keeps the same rows (no tie among distinct urls)
+    ids3 = sorted(
+        r["id"] for r in domain_cap(df, "url", 4).select("id").collect()
+    )
+    assert ids1 == ids3
+    # winners carry their full original rows back
+    assert set(kept.columns) == {"id", "url", "content"}
