@@ -1913,9 +1913,17 @@ def _pipeline_corpus_gate_sql() -> str:
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                license_class,
                spdx_id,
-               CAST(round(round(CASE WHEN len(content) > 0
-                    THEN (len(content) - len({stripped})) * 1.0 / len(content)
-                    ELSE 0 END, 6), 4) AS DOUBLE) AS comment_ratio
+               -- exact replay of the DOUBLE rounding on the Spark side:
+               -- prepare() stores round(ratio, 6) (plans/pipeline.py:122),
+               -- the query rounds THAT to 4; Spark round() is HALF_UP on the
+               -- double's shortest repr, so 0.07364975 -> 0.073650 -> 0.0737,
+               -- where one binary round(...,4) gives 0.0736 (seen at sf0.1).
+               -- Integer arithmetic: n6 = half-up at 6 decimals, then
+               -- (n6+50)//100 = half-up to 4 — reproduces Spark exactly.
+               CAST((CASE WHEN len(content) > 0
+                    THEN (((len(content) - len({stripped})) * 2000000
+                           + len(content)) // (2 * len(content)) + 50) // 100
+                    ELSE 0 END) / 10000.0 AS DOUBLE) AS comment_ratio
         FROM c
         WHERE license_class IN ('permissive', 'none')
     """
@@ -3287,8 +3295,14 @@ def oracle_sql() -> dict[str, str]:
             ls AS (
               SELECT doc_id, sum(cnt) AS n_lines,
                      round(1.0 - count(*)::DOUBLE / sum(cnt), 4) AS dup_line_frac,
-                     round(coalesce(sum(CASE WHEN cnt > 1 THEN cnt*ln END), 0)::DOUBLE
-                           / sum(cnt*ln), 4) AS dup_line_char_frac
+                     -- integer HALF-UP (num*2e4+den)//(2*den): Spark round()
+                     -- is HALF_UP on the double's shortest repr; DuckDB
+                     -- round() acts on the binary double — they split on
+                     -- exact .00005 boundaries (seen at sf0.1). Same fix on
+                     -- the two gram fractions below.
+                     ((coalesce(sum(CASE WHEN cnt > 1 THEN cnt*ln END), 0)
+                       * 20000 + sum(cnt*ln)) // (2 * sum(cnt*ln)))
+                       / 10000.0 AS dup_line_char_frac
               FROM lg GROUP BY doc_id
             ),
             w AS (
@@ -3312,9 +3326,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
                    coalesce(ls.dup_line_frac, 0.0)::DOUBLE AS dup_line_frac,
                    coalesce(ls.dup_line_char_frac, 0.0)::DOUBLE AS dup_line_char_frac,
-                   coalesce(round((gs.top.cnt * gs.top.ln)::DOUBLE / gs.total, 4),
+                   coalesce(((gs.top.cnt * gs.top.ln * 20000 + gs.total)
+                             // (2 * gs.total)) / 10000.0,
                             0.0)::DOUBLE AS top_ngram_char_frac,
-                   coalesce(round(gs.dup_chars::DOUBLE / gs.total, 4),
+                   coalesce(((gs.dup_chars * 20000 + gs.total)
+                             // (2 * gs.total)) / 10000.0,
                             0.0)::DOUBLE AS dup_ngram_char_frac
             FROM base b LEFT JOIN ls USING (doc_id) LEFT JOIN gs USING (doc_id)
         """,
