@@ -343,3 +343,62 @@ def test_compression_plan_single_arrow_stage(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_webquality_stateless_on_streams(spark, tmp_path):
+    """The webquality projections are stateless, so they must compose with
+    Structured Streaming unchanged and produce byte-identical decisions to
+    batch — the same contract the pipeline's license/comment gates carry."""
+    from llm_tab_cleaner_spark.functions.webquality import (
+        compression_stats,
+        gopher_quality_stats,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    src = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        gopher_quality_stats(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wq_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_words"], r["gopher_keep"])
+        for r in spark.sql("select * from wq_out").collect()
+    }
+    batch = spark.read.parquet(src)
+    exp = {
+        r["doc_id"]: (r["n_words"], r["gopher_keep"])
+        for r in gopher_quality_stats(batch, "doc_id", "text").collect()
+    }
+    assert got == exp and len(got) == 60
+
+    # the UDF-backed compression signal streams too
+    q2 = (
+        compression_stats(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wq_comp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in spark.sql("select * from wq_comp").collect()
+    }
+    exp2 = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in compression_stats(batch, "doc_id", "text").collect()
+    }
+    assert got2 == exp2
