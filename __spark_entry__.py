@@ -2995,24 +2995,35 @@ def oracle_sql() -> dict[str, str]:
             ),
             m AS (
               SELECT doc_id, len(words) AS nw, len(ls) AS nl,
-                round(CASE WHEN len(words) > 0 THEN
-                  length(array_to_string(words, ''))::DOUBLE / len(words)
-                  ELSE 0.0 END, 4) AS mwl,
-                round(CASE WHEN len(words) > 0 THEN
-                  ((length(content) - length(replace(content, '#', '')))
-                   + (length(content) - length(replace(content, '...', ''))) / 3.0
-                   + (length(content) - length(replace(content, '…', ''))))::DOUBLE
-                  / len(words) ELSE 0.0 END, 4) AS swr,
-                round(CASE WHEN len(ls) > 0 THEN
-                  len(regexp_extract_all(chr(10) || norm, '\n[-*•‣▪]'))::DOUBLE
-                  / len(ls) ELSE 0.0 END, 4) AS blf,
-                round(CASE WHEN len(ls) > 0 THEN
-                  len(regexp_extract_all(norm || chr(10), '(\.\.\.|…)\n'))::DOUBLE
-                  / len(ls) ELSE 0.0 END, 4) AS elf,
-                round(CASE WHEN len(words) > 0 THEN
-                  len(regexp_extract_all(' ' || content,
-                    '[ \t\r\f\n][^ \t\r\f\n]*[A-Za-z]'))::DOUBLE
-                  / len(words) ELSE 0.0 END, 4) AS awf,
+                -- exact integer HALF-UP ((num*2e4+den)//(2*den)) on every
+                -- ratio: Spark round() is HALF_UP on the double's shortest
+                -- repr, DuckDB round() acts on the binary double — integer
+                -- arithmetic reproduces Spark exactly on .00005 boundaries
+                -- (the numerators here are all integers; the '...' delta is
+                -- always divisible by 3)
+                CASE WHEN len(words) > 0 THEN
+                  ((length(array_to_string(words, '')) * 20000 + len(words))
+                   // (2 * len(words))) / 10000.0
+                  ELSE 0.0 END AS mwl,
+                CASE WHEN len(words) > 0 THEN
+                  (((length(content) - length(replace(content, '#', ''))
+                     + (length(content) - length(replace(content, '...', ''))) // 3
+                     + length(content) - length(replace(content, '…', '')))
+                    * 20000 + len(words)) // (2 * len(words))) / 10000.0
+                  ELSE 0.0 END AS swr,
+                CASE WHEN len(ls) > 0 THEN
+                  ((len(regexp_extract_all(chr(10) || norm, '\n[-*•‣▪]'))
+                    * 20000 + len(ls)) // (2 * len(ls))) / 10000.0
+                  ELSE 0.0 END AS blf,
+                CASE WHEN len(ls) > 0 THEN
+                  ((len(regexp_extract_all(norm || chr(10), '(\.\.\.|…)\n'))
+                    * 20000 + len(ls)) // (2 * len(ls))) / 10000.0
+                  ELSE 0.0 END AS elf,
+                CASE WHEN len(words) > 0 THEN
+                  ((len(regexp_extract_all(' ' || content,
+                     '[ \t\r\f\n][^ \t\r\f\n]*[A-Za-z]'))
+                    * 20000 + len(words)) // (2 * len(words))) / 10000.0
+                  ELSE 0.0 END AS awf,
                 (list_contains(words_lc, 'the')::INT + list_contains(words_lc, 'be')::INT
                  + list_contains(words_lc, 'to')::INT + list_contains(words_lc, 'of')::INT
                  + list_contains(words_lc, 'and')::INT + list_contains(words_lc, 'that')::INT
@@ -3145,12 +3156,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT doc_id, nl, mll, autogen,
-                round(CASE WHEN nl > 0 THEN line_chars::DOUBLE / nl
-                  ELSE 0.0 END, 4) AS mean_ll,
-                round(CASE WHEN nonspace > 0 THEN alnum::DOUBLE / nonspace
-                  ELSE 1.0 END, 4) AS af,
-                round(CASE WHEN total > 0 THEN enc::DOUBLE / total
-                  ELSE 0.0 END, 4) AS ef
+                -- integer HALF-UP, same rationale as gopher_quality
+                CASE WHEN nl > 0 THEN
+                  ((line_chars * 20000 + nl) // (2 * nl)) / 10000.0
+                  ELSE 0.0 END AS mean_ll,
+                CASE WHEN nonspace > 0 THEN
+                  ((alnum * 20000 + nonspace) // (2 * nonspace)) / 10000.0
+                  ELSE 1.0 END AS af,
+                CASE WHEN total > 0 THEN
+                  ((enc * 20000 + total) // (2 * total)) / 10000.0
+                  ELSE 0.0 END AS ef
               FROM s
             )
             SELECT doc_id,
@@ -3177,7 +3192,8 @@ def oracle_sql() -> dict[str, str]:
             -- corpus domain mix over the same synthesized URLs
             WITH {_URL_CTE}
             SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-                   round(count(*)::DOUBLE / (SELECT count(*) FROM u), 4)::DOUBLE
+                   (((count(*) * 20000 + (SELECT count(*) FROM u))
+                     // (2 * (SELECT count(*) FROM u))) / 10000.0)::DOUBLE
                      AS frac
             FROM norm GROUP BY domain
         """,
@@ -3258,9 +3274,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
               CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
               CAST(coalesce(per.n_oov, 0) AS BIGINT) AS n_oov,
-              round(CASE WHEN coalesce(per.n_tokens, 0) > 0
-                THEN coalesce(per.n_oov, 0)::DOUBLE / per.n_tokens
-                ELSE 0.0 END, 4)::DOUBLE AS oov_rate
+              (CASE WHEN coalesce(per.n_tokens, 0) > 0
+                THEN ((coalesce(per.n_oov, 0) * 20000 + per.n_tokens)
+                      // (2 * per.n_tokens)) / 10000.0
+                ELSE 0.0 END)::DOUBLE AS oov_rate
             FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "repetition_stats": r"""
