@@ -1042,6 +1042,56 @@ def _q_domain_cap(spark, sf):
     )
 
 
+def _enc_snips():
+    """Deterministic corruption snippets shared by _q_encoding_stats and its
+    oracle — built FROM the module's own misdecode helper so the source file
+    never carries hand-typed mojibake."""
+    from llm_tab_cleaner_spark.functions.encoding import (
+        REPLACEMENT_CHAR,
+        _misdecoded,
+    )
+
+    moji = (
+        "It" + _misdecoded("’") + "s a " + _misdecoded("“") + "test"
+        + _misdecoded("”") + " at the caf" + _misdecoded("é") + "."
+    )
+    ctl = " ctl" + chr(1) + "chars" + chr(31) + "here"
+    repl = " lost" + REPLACEMENT_CHAR + "byte"
+    return moji, ctl, repl
+
+
+def _q_encoding_stats(spark, sf):
+    """Encoding repair (functions/encoding.py): ftfy-style mojibake replace
+    chain + control-char strip + health counters, over documents with
+    deterministic corruption injected per doc_id mod (mojibake on every
+    5th, C0 controls on every 7th, U+FFFD on every 11th). text_fixed is
+    value-compared via md5 + length; the oracle replays the replace chain
+    generated from the SAME table."""
+    from llm_tab_cleaner_spark.functions.encoding import encoding_stats
+
+    moji, ctl, repl = _enc_snips()
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit(moji)).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(ctl)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(repl)).otherwise(F.lit("")),
+    )
+    out = encoding_stats(
+        d.select("doc_id", content.alias("content")), "doc_id", "content"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_fixed").alias("fixed_md5"),
+        "n_chars",
+        "n_chars_fixed",
+        "n_mojibake_chars",
+        "n_replacement",
+        "n_control",
+        "enc_clean",
+    )
+
+
 def _q_oov_rate(spark, sf):
     """Tokenizer-coverage analysis: vocabulary = top-50 lowercased tokens of
     the even-doc half (deterministic count-desc/token-asc order), per-doc
@@ -1552,7 +1602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # md5-fraction machinery also lives in mixture_sample/weighted_sample/
     # dsir_select in head — rotated out when near_dup_keep/skew_report
     # landed; bpe_tokens — token-count family also in token_topk/oov_rate
-    # in head — rotated out when domain_cap_docs landed)
+    # in head — rotated out when domain_cap_docs landed; quality_by_source
+    # — quality-agg family also in doc_stats/quality_buckets in head —
+    # rotated out when encoding_stats landed)
     # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1570,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "stack_stats": _q_stack_stats,
+        "encoding_stats": _q_encoding_stats,
         "url_domains": _q_url_domains,
         "domain_mix": _q_domain_mix,
         "domain_cap_docs": _q_domain_cap,
@@ -1582,7 +1635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_parity": _q_scrub_parity,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_topk": _q_token_topk,
-        "quality_by_source": _q_quality_by_source,
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
         "learned_patterns": _q_learned_patterns,
@@ -1609,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
         "deterministic_sample": _q_deterministic_sample,
         "dataset_splits": _q_dataset_splits,
@@ -2030,6 +2083,70 @@ _URL_CTE = """u AS (
                 (CASE WHEN pq = '' THEN '/' ELSE pq END) AS url_norm
               FROM dom
             )""".replace("{tlds}", _URL_TLDS_SQL)
+
+
+def _sql_lit(s: str) -> str:
+    """SQL literal builder: printable runs stay quoted (doubling any
+    apostrophes), control codepoints go through chr(n) so the query text
+    remains printable."""
+    parts, buf = [], ""
+    for c in s:
+        if ord(c) < 32:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(c)})")
+        else:
+            buf += c
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _encoding_stats_sql() -> str:
+    """Oracle twin of _q_encoding_stats: the replace chain is GENERATED from
+    functions/encoding.MOJIBAKE_TABLE (single source of truth), control
+    strip replayed as an RE2 class, same corruption synthesis."""
+    from llm_tab_cleaner_spark.functions.encoding import (
+        MOJIBAKE_TABLE,
+        REPLACEMENT_CHAR,
+    )
+
+    moji, ctl, repl = _enc_snips()
+    fix = "content"
+    for b, f in MOJIBAKE_TABLE:
+        fix = f"replace({fix}, {_sql_lit(b)}, {_sql_lit(f)})"
+    rlit = _sql_lit(REPLACEMENT_CHAR)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 5 = 0 THEN {_sql_lit(moji)} ELSE '' END)
+            || text
+            || (CASE WHEN doc_id % 7 = 0 THEN {_sql_lit(ctl)} ELSE '' END)
+            || (CASE WHEN doc_id % 11 = 0 THEN {_sql_lit(repl)} ELSE '' END)
+            AS content
+          FROM documents
+        ), fx AS (
+          SELECT doc_id, content, {fix} AS moji FROM base
+        ), g AS (
+          SELECT doc_id, content, moji,
+                 regexp_replace(moji, '[\\x00-\\x08\\x0E-\\x1F]', '', 'g')
+                   AS fixed
+          FROM fx
+        )
+        SELECT doc_id,
+          md5(fixed) AS fixed_md5,
+          CAST(length(content) AS BIGINT) AS n_chars,
+          CAST(length(fixed) AS BIGINT) AS n_chars_fixed,
+          CAST(length(content) - length(moji) AS BIGINT) AS n_mojibake_chars,
+          CAST(length(content) - length(replace(content, {rlit}, ''))
+            AS BIGINT) AS n_replacement,
+          CAST(length(moji) - length(fixed) AS BIGINT) AS n_control,
+          (length(content) = length(moji) AND length(moji) = length(fixed)
+           AND length(content) = length(replace(content, {rlit}, '')))
+            AS enc_clean
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2951,6 +3068,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(src, min(dst)) AS BIGINT) AS component
             FROM reach GROUP BY src
         """,
+        "encoding_stats": _encoding_stats_sql(),
         "gopher_quality": r"""
             -- Gopher quality rules; mirrors functions/webquality.py
             -- gopher_quality_stats EXACTLY: same synthesized content, same

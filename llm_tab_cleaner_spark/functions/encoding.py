@@ -1,0 +1,113 @@
+"""Encoding-repair operators: mojibake fixing and encoding-health stats.
+
+Web corpora are full of UTF-8 text that was decoded as Latin-1/cp1252
+somewhere upstream and re-encoded ("mojibake": ``â€™`` where ``'`` was
+meant). The standard fix tool is ftfy (public); this module implements the
+deterministic high-frequency subset of its sequence table as a native
+``replace`` chain — no UDF, no external lib — plus the encoding-health
+counters (replacement characters, control characters, mojibake markers) a
+pipeline uses to gate or route documents. The reference repo has no
+encoding handling; beyond-reference family like functions/webquality.py.
+
+Every rule is an EXACT-STRING replace (no regex), applied in the fixed
+table order — identical semantics in Spark ``replace``, DuckDB ``replace``
+and Python ``str.replace``, so the DuckDB oracle and pytest mirrors replay
+the chain verbatim. All operators are pure per-row projections: no
+shuffle, fused into the scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _misdecoded(ch: str) -> str:
+    """What ``ch`` looks like after the classic corruption: its UTF-8 bytes
+    decoded as cp1252 (per-byte latin-1 fallback for the five codepoints
+    cp1252 leaves undefined — exactly ftfy's sloppy-cp1252 behavior)."""
+    out = []
+    for byte in ch.encode("utf-8"):
+        try:
+            out.append(bytes([byte]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(bytes([byte]).decode("latin-1"))
+    return "".join(out)
+
+
+#: characters whose mojibake form is repaired (a deliberately bounded,
+#: high-frequency subset of ftfy's table — every source sequence is
+#: unambiguous in web text). The derived (broken, fixed) pairs are applied
+#: in order; sources never prefix each other (distinct lead chars per
+#: family, distinct trailing chars within one).
+_MOJIBAKE_CHARS = "\u2019\u2018\u201c\u201d\u2013\u2014\u2026\u2022" \
+    "\u00e9\u00e8\u00e1\u00f3\u00f1\u00fc\u00f6\u00e4\u00e7" \
+    "\u00e0\u00ed\u00fa\u00e2\u00ea\u00f4\u00ee\u00b0\u00ab\u00bb"
+
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    (_misdecoded(ch), ch) for ch in _MOJIBAKE_CHARS
+) + (
+    # UTF-8 NBSP misdecoded ('\u00c2' + NBSP) -> plain space
+    (_misdecoded("\u00a0"), " "),
+)
+
+
+#: C0 control characters that never belong in text (tab/newline/CR and the
+#: whitespace controls \x0b/\x0c are NOT in this set)
+CONTROL_CHARS = "".join(
+    chr(c) for c in list(range(0x00, 0x09)) + [0x0E, 0x0F] + list(range(0x10, 0x20))
+)
+
+REPLACEMENT_CHAR = "�"
+
+
+def fix_mojibake_expr(col: Column) -> Column:
+    """Apply the MOJIBAKE_TABLE replace chain in order (native, no regex)."""
+    out = col
+    for broken, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(broken), F.lit(fixed))
+    return out
+
+
+def strip_control_chars_expr(col: Column) -> Column:
+    """Remove C0 control characters (tab/newline/CR preserved)."""
+    return F.translate(col, CONTROL_CHARS, "")
+
+
+def encoding_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fix: bool = True,
+) -> DataFrame:
+    """Per-document encoding health + (optionally) the repaired text.
+
+    Returns one row per input row:
+      id_col, text_fixed (mojibake chain + control-char strip; the input
+      text when ``fix=False``), n_chars, n_chars_fixed, n_mojibake_chars
+      (char-count shrink attributable to the replace chain), n_replacement
+      (U+FFFD count — upstream decode failures the chain cannot repair),
+      n_control (stripped control chars), enc_clean (nothing was wrong).
+
+    Pure per-row projection; counts derive from length deltas (one
+    ``translate``/``replace`` scan each, no regex engine).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    fixed_moji = fix_mojibake_expr(t)
+    fixed = strip_control_chars_expr(fixed_moji)
+    n = F.length(t)
+    n_moji = (n - F.length(fixed_moji)).cast("bigint")
+    n_ctl = (F.length(fixed_moji) - F.length(fixed)).cast("bigint")
+    n_repl = (
+        n - F.length(F.replace(t, F.lit(REPLACEMENT_CHAR), F.lit("")))
+    ).cast("bigint")
+    out_text = fixed if fix else t
+    return df.select(
+        id_col,
+        out_text.alias("text_fixed"),
+        n.cast("bigint").alias("n_chars"),
+        F.length(out_text).cast("bigint").alias("n_chars_fixed"),
+        n_moji.alias("n_mojibake_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctl.alias("n_control"),
+        ((n_moji == 0) & (n_ctl == 0) & (n_repl == 0)).alias("enc_clean"),
+    )

@@ -1,0 +1,113 @@
+"""Encoding repair (functions/encoding.py): derived-table sanity, Python
+str.replace parity, control/replacement counters, idempotence, plan guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from llm_tab_cleaner_spark.functions.encoding import (
+    CONTROL_CHARS,
+    MOJIBAKE_TABLE,
+    REPLACEMENT_CHAR,
+    _misdecoded,
+)
+
+
+def ref_fix(text: str) -> str:
+    for b, f in MOJIBAKE_TABLE:
+        text = text.replace(b, f)
+    return "".join(c for c in text if c not in CONTROL_CHARS)
+
+
+def test_table_is_derived_and_prefix_free():
+    assert _misdecoded("’") == "â€™"  # the classic â€™
+    srcs = [b for b, _ in MOJIBAKE_TABLE]
+    assert len(srcs) == len(set(srcs))
+    assert not [
+        (a, c) for a in srcs for c in srcs if a != c and c.startswith(a)
+    ]
+    # a fixed output may complete a LATER source only through the 'â€'
+    # double-mojibake prefix (repairing twice-corrupted text one level
+    # deeper — correct, ftfy iterates for the same reason); it must never
+    # seed a fresh accented-letter source
+    for i, (_, f) in enumerate(MOJIBAKE_TABLE):
+        for b2, _ in MOJIBAKE_TABLE[i + 1 :]:
+            if f in b2:
+                assert b2.startswith(_misdecoded("’")[:2]), (f, b2)
+    # every clean fixed char on its own passes through the chain untouched
+    for _, f in MOJIBAKE_TABLE:
+        assert ref_fix(f) == f
+
+
+CASES = [
+    "It" + _misdecoded("’") + "s a " + _misdecoded("“") + "quote"
+    + _misdecoded("”") + " from the caf" + _misdecoded("é") + ".",
+    "plain ascii text stays untouched",
+    "ctl" + chr(1) + "chars" + chr(31) + " stripped, tab\tand\nnewline kept",
+    "lost" + REPLACEMENT_CHAR + "bytes" + REPLACEMENT_CHAR,
+    "",
+    "nbsp" + _misdecoded(" ") + "fixed",
+]
+
+
+@pytest.fixture(scope="module")
+def enc_rows(spark):
+    from llm_tab_cleaner_spark.functions.encoding import encoding_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: r.asDict()
+        for r in encoding_stats(df, "doc_id", "text").collect()
+    }
+
+
+def test_fix_matches_python_replay(enc_rows):
+    for i, t in enumerate(CASES):
+        assert enc_rows[i]["text_fixed"] == ref_fix(t), i
+        assert enc_rows[i]["n_chars"] == len(t)
+        assert enc_rows[i]["n_chars_fixed"] == len(ref_fix(t))
+
+
+def test_counters_and_flags(enc_rows):
+    assert enc_rows[0]["n_mojibake_chars"] == 7  # 3 three-char + 1 two-char fixes
+    assert enc_rows[0]["enc_clean"] is False
+    assert enc_rows[1]["enc_clean"] is True
+    assert enc_rows[2]["n_control"] == 2
+    assert "\t" in enc_rows[2]["text_fixed"] and "\n" in enc_rows[2]["text_fixed"]
+    assert enc_rows[3]["n_replacement"] == 2
+    assert enc_rows[4]["enc_clean"] is True and enc_rows[4]["n_chars"] == 0
+    assert enc_rows[5]["n_mojibake_chars"] == 1
+    assert "nbsp fixed" == enc_rows[5]["text_fixed"]
+
+
+def test_fix_is_idempotent(spark, enc_rows):
+    from llm_tab_cleaner_spark.functions.encoding import encoding_stats
+
+    df = spark.createDataFrame(
+        [(i, r["text_fixed"]) for i, r in enc_rows.items()],
+        "doc_id long, text string",
+    )
+    again = {
+        r["doc_id"]: r.asDict()
+        for r in encoding_stats(df, "doc_id", "text").collect()
+    }
+    for i in enc_rows:
+        assert again[i]["text_fixed"] == enc_rows[i]["text_fixed"]
+        assert again[i]["n_mojibake_chars"] == 0 and again[i]["n_control"] == 0
+
+
+def test_encoding_plan_is_pure_projection(spark):
+    from llm_tab_cleaner_spark.functions.encoding import encoding_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        encoding_stats(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan.lower()
