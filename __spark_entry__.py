@@ -1092,6 +1092,16 @@ def _q_encoding_stats(spark, sf):
     )
 
 
+def _q_unigram_entropy(spark, sf):
+    """RedPajama-v2-style per-doc unigram entropy (nats) over documents —
+    H = ln(N) - sum(c ln c)/N per doc; token identity via xxhash64 on the
+    Spark side, token string in the oracle (same 2^-64 collision caveat as
+    every gram-hash query)."""
+    from llm_tab_cleaner_spark.operators.text_analysis import unigram_entropy
+
+    return unigram_entropy(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q_oov_rate(spark, sf):
     """Tokenizer-coverage analysis: vocabulary = top-50 lowercased tokens of
     the even-doc half (deterministic count-desc/token-asc order), per-doc
@@ -1604,7 +1614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # landed; bpe_tokens — token-count family also in token_topk/oov_rate
     # in head — rotated out when domain_cap_docs landed; quality_by_source
     # — quality-agg family also in doc_stats/quality_buckets in head —
-    # rotated out when encoding_stats landed)
+    # rotated out when encoding_stats landed; learned_patterns — the
+    # learner also judge-verified via learned_fuzzy in head — rotated out
+    # when unigram_entropy landed)
     # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1627,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": _q_domain_mix,
         "domain_cap_docs": _q_domain_cap,
         "oov_rate": _q_oov_rate,
+        "unigram_entropy": _q_unigram_entropy,
         "event_sessions": _q_event_sessions,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
@@ -1637,7 +1650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "native_rules_docs": _q_native_rules_docs,
         "rules_tabular": _q_rules_tabular,
-        "learned_patterns": _q_learned_patterns,
         "keyword_langid": _q_keyword_langid,
         "calibration_metrics": _q_calibration_metrics,
         "cosine_topk": _q_cosine_topk,
@@ -1661,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "learned_patterns": _q_learned_patterns,
         "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
         "deterministic_sample": _q_deterministic_sample,
@@ -3364,6 +3377,31 @@ def oracle_sql() -> dict[str, str]:
                    round(max(cnt) / avg(cnt), 4)::DOUBLE AS skew_ratio,
                    round(max(cnt)::DOUBLE / sum(cnt), 4)::DOUBLE AS top1_share
             FROM per_key
+        """,
+        "unigram_entropy": r"""
+            -- H = ln(N) - sum(c ln c)/N per doc over whitespace tokens
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(regexp_replace(text,
+                  '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g'),
+                  '[ \t\r\f\n]+')) AS w
+              FROM documents
+              WHERE length(regexp_replace(text,
+                '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g')) > 0
+            ),
+            counts AS (
+              SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+            ),
+            per AS (
+              SELECT doc_id, sum(c) AS n,
+                     sum(c::DOUBLE * ln(c::DOUBLE)) AS clc
+              FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              CAST(coalesce(per.n, 0) AS BIGINT) AS n_tokens,
+              coalesce(round(ln(per.n::DOUBLE) - per.clc / per.n, 4),
+                       0.0)::DOUBLE AS unigram_entropy
+            FROM documents d LEFT JOIN per USING (doc_id)
         """,
         "oov_rate": r"""
             -- tokenizer coverage; mirrors operators/text_analysis.py

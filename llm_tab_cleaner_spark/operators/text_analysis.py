@@ -224,3 +224,38 @@ def oov_stats(
             .alias("oov_rate"),
         )
     )
+
+
+def unigram_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document unigram (whitespace-token) Shannon entropy in NATS —
+    the RedPajama-v2-style ``unigram_entropy`` quality signal: near 0 means
+    one token dominates (spam/keyword stuffing), ln(n_tokens) means all
+    tokens distinct. H = ln(N) − Σ c·ln(c)/N over per-doc token counts.
+
+    Returns (id_col, n_tokens, unigram_entropy) — entropy rounded to 4,
+    0.0 for empty docs. Scale shape: same as repetition_stats — the token
+    shuffle is keyed on (id, xxhash64(token)) with map-side combine (8-byte
+    hashes + counts, never text; the ~2^-64 collision caveat is shared with
+    the whole gram-hash family), then one per-id partial-aggregated sum."""
+    from llm_tab_cleaner_spark.functions.repetition import words_expr
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(words_expr(F.col(text_col))).alias("w")
+    )
+    counts = toks.groupBy("_id", F.xxhash64("w").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = counts.groupBy("_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clc"),
+    )
+    ent = F.round(F.log(F.col("n").cast("double")) - F.col("clc") / F.col("n"), 4)
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce(ent, F.lit(0.0)).cast("double").alias("unigram_entropy"),
+        )
+    )

@@ -76,3 +76,28 @@ def test_oov_plan_broadcasts_vocab(spark, docs_df):
     )
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_unigram_entropy_goldens(spark):
+    import math
+
+    from llm_tab_cleaner_spark.operators.text_analysis import unigram_entropy
+
+    docs = [
+        (0, "a a a a"),            # one token -> H = 0
+        (1, "a b c d"),            # all distinct -> H = ln(4)
+        (2, "a a b b"),            # H = ln(2)
+        (3, ""),                   # empty -> 0
+        (4, "x"),                  # single token -> 0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["unigram_entropy"])
+        for r in unigram_entropy(df, "doc_id", "text").collect()
+    }
+    r4 = lambda x: round(x, 4)  # noqa: E731
+    assert got[0] == (4, 0.0)
+    assert got[1] == (4, r4(math.log(4)))
+    assert got[2] == (4, r4(math.log(2)))
+    assert got[3] == (0, 0.0)
+    assert got[4] == (1, 0.0)
