@@ -211,6 +211,20 @@ def main() -> None:
             df, "doc_id", "text", df.filter(F.col("doc_id") % 10 == 0)
         ).write.format("noop").mode("overwrite").save()
 
+    def q_entropy(df):
+        from llm_tab_cleaner_spark.operators.text_analysis import unigram_entropy
+
+        unigram_entropy(df, "doc_id", "text").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def q_encoding(df):
+        from llm_tab_cleaner_spark.functions.encoding import encoding_stats
+
+        encoding_stats(df, "doc_id", "text").drop("text_fixed").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     all_ops = [("minhash_pairs", q_minhash), ("simhash_pairs", q_simhash),
                ("ngram_jaccard", q_ngram), ("repetition_stats", q_repetition),
                ("paragraph_dedup", q_paragraph), ("decontaminate", q_decontam),
@@ -219,7 +233,8 @@ def main() -> None:
                ("gopher_quality", q_gopher), ("c4_clean", q_c4),
                ("stack_stats", q_stack), ("compress_stats", q_compress),
                ("domain_mix", q_url), ("oov_rate", q_oov),
-               ("dsir_weights", q_dsir)]
+               ("dsir_weights", q_dsir), ("unigram_entropy", q_entropy),
+               ("encoding_stats", q_encoding)]
     only = set(sys.argv[2:])
     if only:
         all_ops = [(n, q) for n, q in all_ops if n in only]
