@@ -801,8 +801,16 @@ def connected_components(
     you would swap the loop body for the large-star/small-star variant;
     the join shape per round is identical."""
     src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    # materialize the slim (src, dst) projection ONCE before any probing:
+    # CollectLimit over an expensive pair DAG executes incrementally
+    # (1 partition, then scaleUpFactor× more, re-running the upstream per
+    # attempt — measured 2.5-3× the pair query's own wall); after the
+    # checkpoint the probe, the union-find collect and the distributed
+    # loop all read materialized blocks. Edges are two longs per pair —
+    # the same footprint the distributed branch already checkpoints.
+    slim = pairs_df.select(src, dst).localCheckpoint(eager=True)
     if driver_edge_limit:
-        probe = pairs_df.select(src, dst).limit(driver_edge_limit + 1).collect()
+        probe = slim.limit(driver_edge_limit + 1).collect()
         if len(probe) <= driver_edge_limit:
             parent: dict = {}
 
@@ -833,7 +841,7 @@ def connected_components(
                 src.alias("id"), dst.alias("component")
             ).schema
             return spark.createDataFrame(rows, schema)
-    half = pairs_df.select(src, dst)
+    half = slim
     edges = (
         half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
