@@ -1092,6 +1092,32 @@ def _q_encoding_stats(spark, sf):
     )
 
 
+#: script snippets shared by _q_script_stats and its oracle — built from
+#: codepoints so the source never carries typed non-ASCII
+_CYR = "".join(chr(c) for c in range(0x0430, 0x0440))
+_CJK = "".join(chr(c) for c in (0x4E2D, 0x6587, 0x5904, 0x7406, 0x6587, 0x672C))
+_GRK = "".join(chr(c) for c in range(0x03B1, 0x03B9))
+
+
+def _q_script_stats(spark, sf):
+    """Script-mix detection (webquality.script_stats) over documents with
+    deterministic non-Latin injections: Cyrillic on every 3rd doc, CJK on
+    every 7th, Greek on every 11th. Counts per script block, dominant
+    script with a deterministic tie-break, dominant share."""
+    from llm_tab_cleaner_spark.functions.webquality import script_stats
+
+    d = _t(spark, sf, "documents")
+    content = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _CYR)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" " + _CJK)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" " + _GRK)).otherwise(F.lit("")),
+    )
+    return script_stats(
+        d.select("doc_id", content.alias("content")), "doc_id", "content"
+    )
+
+
 def _q_unigram_entropy(spark, sf):
     """RedPajama-v2-style per-doc unigram entropy (nats) over documents —
     H = ln(N) - sum(c ln c)/N per doc; token identity via xxhash64 on the
@@ -1616,7 +1642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # — quality-agg family also in doc_stats/quality_buckets in head —
     # rotated out when encoding_stats landed; learned_patterns — the
     # learner also judge-verified via learned_fuzzy in head — rotated out
-    # when unigram_entropy landed)
+    # when unigram_entropy landed; doc_lang_stats — lang-group agg also in
+    # keyword_langid/quality_buckets in head — rotated out when
+    # script_stats landed)
     # and (b) the four model/codec-backed rows-only queries.
     # tools/parity_check.py still verifies ALL of them.
     return {
@@ -1640,11 +1668,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_docs": _q_domain_cap,
         "oov_rate": _q_oov_rate,
         "unigram_entropy": _q_unigram_entropy,
+        "script_stats": _q_script_stats,
         "event_sessions": _q_event_sessions,
         "profile_orders": _q_profile_orders,
         "fk_sweep": _q_fk_sweep,
         "doc_stats": _q_doc_stats,
-        "doc_lang_stats": _q_doc_lang_stats,
         "scrub_parity": _q_scrub_parity,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_topk": _q_token_topk,
@@ -1673,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: beyond the driver's 50-row cap (see note above); all
         # nineteen below (except the three model-backed rows-only ones) ARE
         # oracled — tools/parity_check.py verifies them ----
+        "doc_lang_stats": _q_doc_lang_stats,
         "learned_patterns": _q_learned_patterns,
         "quality_by_source": _q_quality_by_source,
         "bpe_tokens": _q_bpe_tokens,
@@ -2114,6 +2143,59 @@ def _sql_lit(s: str) -> str:
     if buf:
         parts.append("'" + buf.replace("'", "''") + "'")
     return " || ".join(parts) if parts else "''"
+
+
+def _script_stats_sql() -> str:
+    """Oracle twin of _q_script_stats: per-block counts via the same
+    literal-range character classes (generated from SCRIPT_BLOCKS — one
+    source of truth), dominant script via greatest over (count, rank,
+    name) structs, exactly Spark's tie-break."""
+    from llm_tab_cleaner_spark.functions.webquality import SCRIPT_BLOCKS
+
+    names_sorted = sorted(nm for nm, _, _ in SCRIPT_BLOCKS)
+    rank = {nm: len(names_sorted) - i for i, nm in enumerate(names_sorted)}
+    cls = {
+        nm: ("[A-Za-z]" if nm == "latin" else "[" + chr(lo) + "-" + chr(hi) + "]")
+        for nm, lo, hi in SCRIPT_BLOCKS
+    }
+    count_cols = ",\n                ".join(
+        f"CAST(length(content) - length(regexp_replace(content, "
+        f"{_sql_lit(cls[nm])}, '', 'g')) AS BIGINT) AS n_{nm}"
+        for nm in names_sorted
+    )
+    total = " + ".join(f"n_{nm}" for nm in names_sorted)
+    structs = ", ".join(
+        f"struct_pack(c := n_{nm}, r := {rank[nm]}, name := '{nm}')"
+        for nm in names_sorted
+    )
+    sel_counts = ", ".join(f"n_{nm}" for nm in names_sorted)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+            text
+            || (CASE WHEN doc_id % 3 = 0 THEN {_sql_lit(" " + _CYR)} ELSE '' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN {_sql_lit(" " + _CJK)} ELSE '' END)
+            || (CASE WHEN doc_id % 11 = 0 THEN {_sql_lit(" " + _GRK)} ELSE '' END)
+            AS content
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                {count_cols}
+          FROM base
+        ), m AS (
+          SELECT doc_id, {sel_counts}, ({total}) AS total,
+                 -- struct comparison is field-order lexicographic in BOTH
+                 -- engines; list_sort(...)[-1] = Spark's greatest(structs)
+                 list_sort(list_value({structs}))[-1] AS top
+          FROM c
+        )
+        SELECT doc_id, {sel_counts},
+          CASE WHEN total > 0 THEN top.name ELSE 'none' END AS main_script,
+          (CASE WHEN total > 0 THEN
+             ((top.c * 20000 + total) // (2 * total)) / 10000.0
+           ELSE 0.0 END)::DOUBLE AS main_script_share
+        FROM m
+    """
 
 
 def _encoding_stats_sql() -> str:
@@ -3082,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY src
         """,
         "encoding_stats": _encoding_stats_sql(),
+        "script_stats": _script_stats_sql(),
         "gopher_quality": r"""
             -- Gopher quality rules; mirrors functions/webquality.py
             -- gopher_quality_stats EXACTLY: same synthesized content, same

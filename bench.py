@@ -71,7 +71,7 @@ BENCH_QUERIES = [
     "gopher_quality", "c4_clean", "stack_stats",
     "url_domains", "domain_mix", "domain_cap_docs", "oov_rate",
     "compress_stats", "near_dup_keep", "skew_report", "encoding_stats",
-    "unigram_entropy",
+    "unigram_entropy", "script_stats",
 ]
 
 

@@ -362,3 +362,85 @@ def compression_stats(
         ratio.alias("compress_ratio"),
         ((ratio >= min_ratio) & (ratio <= max_ratio)).alias("compress_keep"),
     )
+
+
+#: Unicode script blocks the mix detector counts, as (name, lo, hi) BMP
+#: ranges. Literal range endpoints are embedded in the character class via
+#: chr() — Java, RE2 and Python treat literal chars in classes identically,
+#: so no engine-specific \u escaping is needed (same tri-dialect contract
+#: as the rest of this module). Deliberately coarse: one headline block per
+#: script, not full Unicode script properties (\p{Script=} differs across
+#: engines).
+SCRIPT_BLOCKS: tuple[tuple[str, int, int], ...] = (
+    ("latin", 0x0041, 0x007A),       # A-Z a-z (punct/digits excluded below)
+    ("cyrillic", 0x0400, 0x04FF),
+    ("greek", 0x0370, 0x03FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("hebrew", 0x0590, 0x05FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("cjk", 0x4E00, 0x9FFF),
+    ("hangul", 0xAC00, 0xD7AF),
+    ("hiragana_katakana", 0x3040, 0x30FF),
+)
+
+
+def script_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document script mix: a count column per SCRIPT_BLOCKS entry
+    (``n_<name>``), the dominant script (count-desc, name-asc tie-break),
+    and its share of all script-letter chars (rounded 4; main 'none' and
+    share 0.0 for docs with no script letters). The mixed-script spam /
+    wrong-corpus-routing signal a multilingual web pipeline computes
+    before language-ID.
+
+    Latin counts only A-Za-z — ASCII digits/punctuation belong to no
+    script, so pure-symbol docs correctly report 'none'. Pure per-row
+    projection: one regexp_replace length-delta scan per block."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    counts = {
+        name: (
+            n
+            - F.length(
+                F.regexp_replace(
+                    t,
+                    # latin = the two ASCII letter ranges (0x5B-0x60 are
+                    # punctuation, not script letters)
+                    "[A-Za-z]"
+                    if name == "latin"
+                    else "[" + chr(lo) + "-" + chr(hi) + "]",
+                    "",
+                )
+            )
+        ).cast("bigint")
+        for name, lo, hi in SCRIPT_BLOCKS
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    # dominant script via greatest over (count, rank, name) structs; the
+    # rank field makes ties resolve to the alphabetically FIRST name
+    # (struct comparison is field-order lexicographic), deterministic on
+    # both engines
+    names_sorted = sorted(counts)
+    rank = {nm: len(names_sorted) - i for i, nm in enumerate(names_sorted)}
+    main = F.greatest(
+        *[
+            F.struct(
+                counts[nm].alias("c"),
+                F.lit(rank[nm]).alias("r"),
+                F.lit(nm).alias("name"),
+            )
+            for nm in names_sorted
+        ]
+    )
+    share = F.round(
+        F.when(total > 0, main["c"].cast("double") / total).otherwise(F.lit(0.0)), 4
+    ).cast("double")
+    return df.select(
+        id_col,
+        *[counts[nm].alias(f"n_{nm}") for nm in names_sorted],
+        F.when(total > 0, main["name"]).otherwise(F.lit("none")).alias("main_script"),
+        share.alias("main_script_share"),
+    )

@@ -20,7 +20,7 @@ SUBSET = [
     "winnow_pairs", "import_stats", "corpus_select_pack", "quality_buckets",
     "gopher_quality", "c4_clean", "stack_stats", "url_domains", "domain_mix",
     "oov_rate", "near_dup_keep", "skew_report", "domain_cap_docs",
-    "encoding_stats", "unigram_entropy",
+    "encoding_stats", "unigram_entropy", "script_stats",
 ]
 
 

@@ -402,3 +402,41 @@ def test_webquality_stateless_on_streams(spark, tmp_path):
         for r in compression_stats(batch, "doc_id", "text").collect()
     }
     assert got2 == exp2
+
+
+def test_script_stats_goldens(spark):
+    from llm_tab_cleaner_spark.functions.webquality import script_stats
+
+    cyr = "".join(chr(c) for c in range(0x0430, 0x0436))
+    cjk = "".join(chr(c) for c in (0x4E2D, 0x6587))
+    cases = [
+        (0, "plain english words only here"),
+        (1, cyr + " " + cyr),                 # pure cyrillic
+        (2, "mixed latin " + cjk),            # latin dominant, cjk present
+        (3, "12345 !!! ???"),                 # no script letters at all
+        (4, "ab " + cyr[:2]),                 # tie 2 vs 2 -> name-asc wins
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in script_stats(df, "doc_id", "text").collect()
+    }
+    assert got[0]["main_script"] == "latin" and got[0]["main_script_share"] == 1.0
+    assert got[1]["main_script"] == "cyrillic" and got[1]["n_cyrillic"] == 12
+    assert got[2]["main_script"] == "latin" and got[2]["n_cjk"] == 2
+    assert got[3]["main_script"] == "none" and got[3]["main_script_share"] == 0.0
+    assert got[4]["n_latin"] == 2 and got[4]["n_cyrillic"] == 2
+    assert got[4]["main_script"] == "cyrillic"  # alphabetical tie-break
+    assert got[4]["main_script_share"] == 0.5
+
+
+def test_script_stats_plan_pure(spark):
+    from llm_tab_cleaner_spark.functions.webquality import script_stats
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        script_stats(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
