@@ -28,8 +28,60 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 _PII_SUFFIX = " contact admin@example.com srv 10.1.2.3 key token=abcd1234efgh"
 
 
+#: Cap on the unsplittable-input spread (see _t). 8 is this host's measured
+#: streaming-worker saturation point (BENCH/BASELINE.md "Throughput": the
+#: shared memory hierarchy saturates around 8 byte-streaming workers, and a
+#: 16-32-way spread of these small tables was measured STRICTLY WORSE —
+#: 3-6x the CPU-seconds of the 8-way spread for equal or worse wall).
+#: Parameterised for other hosts; on a properly-split corpus the guard in
+#: _t never fires and this is inert.
+_SPREAD_CAP = int(__import__("os").environ.get("SPARK_GRAFT_SPREAD_CAP", "8"))
+
+
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        )
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table; if the source cannot parallelize the scan,
+    spread it once after the read.
+
+    The driver's tables are single-file, SINGLE-ROW-GROUP parquet: byte-range
+    splitting cannot parallelize them (a row group is one reader), so every
+    scan — and every downstream projection/UDF/localCheckpoint that inherits
+    its partitioning — ran as ONE task on a 32-core session (measured r6:
+    gopher_quality 2.1 s wall at 2.7 CPU-s, all on one core). The guide's
+    fix for unsplittable input (§2.5) is a repartition immediately after the
+    read. Scale-adaptive by construction: the target derives from input
+    size (one partition per 64 KiB of compressed input, so tiny tables are
+    not shredded into confetti tasks), is capped by the session parallelism
+    and the host saturation point (_SPREAD_CAP), and fires only when the
+    scan's real partition count is far below that target — a properly-split
+    100 TB table has thousands of partitions and the guard is inert. The
+    exchange moves each input byte exactly once, amortized by the
+    parallel speedup of everything downstream (measured r6: gopher_quality
+    1.9 -> 0.8 s, paragraph_dedup 1.6 -> 0.9 s at equal CPU)."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        _SPREAD_CAP,
+        max(1, _path_bytes(path) // 65536),
+    )
+    if df.rdd.getNumPartitions() * 2 < target:
+        df = df.repartition(target)
+    return df
 
 
 def _docs_as_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1541,7 +1593,8 @@ def _q_embedding_near_dup(spark, sf):
     threshold-adjacent pairs (round-2 ADVICE)."""
     e = _t(spark, sf, "embeddings")
     return dedup.embedding_near_dup_pairs(
-        e, "vec_id", "embedding", min_cosine=0.8, bands=32, planes_per_band=6
+        e, "vec_id", "embedding", min_cosine=0.8, bands=32, planes_per_band=6,
+        dim=64,
     ).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),

@@ -509,8 +509,14 @@ def embedding_near_dup_pairs(
     planes_per_band: int = 8,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs.
+
+    ``dim`` (optional): the known vector width. When given, the per-pair
+    dot product uses the codegen-able unrolled form (bit-identical values,
+    see similarity.dot_expr_unrolled) instead of the interpreted lambda
+    fold — the verify join is the pair-count-proportional cost here.
 
     Default (``method="lsh"``, the validated path): banded random-hyperplane
     LSH — every vector gets `bands` bucket keys (one matmul per Arrow batch
@@ -528,7 +534,11 @@ def embedding_near_dup_pairs(
     ``method="brute"`` is the exact O(N²) baseline, kept ONLY as the oracle
     for small-N verification (it is what the DuckDB twin computes).
     """
-    from llm_tab_cleaner_spark.operators.similarity import banded_buckets, cosine_expr
+    from llm_tab_cleaner_spark.operators.similarity import (
+        banded_buckets,
+        dot_expr,
+        dot_expr_unrolled,
+    )
 
     if method == "lsh":
         b = banded_buckets(df, id_col, vec_col, bands, planes_per_band, seed)
@@ -553,24 +563,47 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
-        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        va = _vec_side(df, id_col, vec_col, "id_a", "_va", "_na")
+        vb = _vec_side(df, id_col, vec_col, "id_b", "_vb", "_nb")
         joined = cand.join(va, "id_a").join(vb, "id_b")
     elif method == "brute":
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        c = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        a = _vec_side(df, id_col, vec_col, "id_a", "_va", "_na")
+        c = _vec_side(df, id_col, vec_col, "id_b", "_vb", "_nb")
         joined = a.crossJoin(c).filter(F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method: {method!r} (use 'lsh' or 'brute')")
-    cos = F.round(
-        cosine_expr(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")), 4
+    # cosine = dot/(norm_a*norm_b) with the norms PRE-COMPUTED per side
+    # (guide §1.2 "per-task work"): the lambda-HOF fold is interpreted, and
+    # Catalyst inlines the verify filter into the join condition AND the
+    # output projection — so with cosine_expr inlined whole, every candidate
+    # pair paid SIX array folds (3 per evaluation x 2 evaluations). Norms
+    # per vector are O(N) not O(pairs); per pair only the dot fold remains
+    # (x2 evaluations). Identical arithmetic, same doubles: norm is the same
+    # fold over the same cast array, just evaluated in an earlier operator.
+    dot = (
+        dot_expr_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if dim
+        else dot_expr(F.col("_va"), F.col("_vb"))
     )
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), 4)
     return (
         joined.withColumn("cosine", cos)
         .filter(F.col("cosine") >= min_cosine)
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def _vec_side(df: DataFrame, id_col: str, vec_col: str, id_out: str, v_out: str, n_out: str) -> DataFrame:
+    """One side of a cosine-verify join: (id, vector cast to double ONCE,
+    pre-computed norm). Casting and the norm fold happen per VECTOR here
+    instead of per candidate pair in the join."""
+    from llm_tab_cleaner_spark.operators.similarity import norm_expr
+
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).cast("array<double>").alias(v_out),
+    ).withColumn(n_out, norm_expr(F.col(v_out)))
 
 
 def _batch_token_ngram_hashes(

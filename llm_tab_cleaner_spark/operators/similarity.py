@@ -34,6 +34,25 @@ def cosine_expr(a, b):
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def dot_expr_unrolled(a, b, dim: int):
+    """``dot_expr`` for known-width vectors, spelled codegen-able.
+
+    The lambda-HOF fold is a CodegenFallback evaluated interpreted per
+    element per row — the dominant cost of a pair-verify join (guide §4.1:
+    prefer expressions codegen can compile). This unrolls the identical
+    left-fold ``((0.0 + a0*b0) + a1*b1) + ...`` into a flat add chain of
+    GetArrayItem terms: the same double operations in the same order, so
+    every result is bit-identical to ``dot_expr``. Rows whose arrays are
+    not exactly ``dim`` long fall back to the interpreted fold — results
+    can never silently change on unexpected input."""
+    acc = F.lit(0.0)
+    for j in range(dim):
+        acc = acc + a[j] * b[j]
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(
+        dot_expr(a, b)
+    )
+
+
 def cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, query: Sequence[float], k: int = 10
 ) -> DataFrame:
