@@ -53,9 +53,11 @@ def _path_bytes(path: str) -> int:
         return 0
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a driver table; if the source cannot parallelize the scan,
-    spread it once after the read.
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a driver table; with ``spread=True``, if the source cannot
+    parallelize the scan, spread it once after the read.
 
     The driver's tables are single-file, SINGLE-ROW-GROUP parquet: byte-range
     splitting cannot parallelize them (a row group is one reader), so every
@@ -68,12 +70,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     not shredded into confetti tasks), is capped by the session parallelism
     and the host saturation point (_SPREAD_CAP), and fires only when the
     scan's real partition count is far below that target — a properly-split
-    100 TB table has thousands of partitions and the guard is inert. The
-    exchange moves each input byte exactly once, amortized by the
-    parallel speedup of everything downstream (measured r6: gopher_quality
-    1.9 -> 0.8 s, paragraph_dedup 1.6 -> 0.9 s at equal CPU)."""
+    100 TB table has thousands of partitions and the guard is inert.
+
+    OPT-IN per query, because the exchange is a real cost (~0.2-0.3 s at
+    sf0.1) that only pays for itself when the downstream per-row work is
+    heavy — text-kernel UDFs, regex chains, pair verifies (measured r6:
+    gopher_quality 1.9 -> 0.7 s, simhash_pairs 3.3 -> 2.2 s, c4_clean
+    0.93 -> 0.43 s); cheap aggregations/windows (skew_report,
+    window_top_orders, shard_pack ...) lose more to the exchange than the
+    extra cores return, so they keep the plain scan."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not spread:
+        return df
     target = min(
         spark.sparkContext.defaultParallelism,
         _SPREAD_CAP,
@@ -434,7 +443,7 @@ def _q_fk_lineitem_orders(spark, sf):
 # ---- documents / text ----
 
 def _q_doc_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     out = TA.doc_stats(d, "doc_id", "text")
     return out.select(
         "doc_id",
@@ -461,7 +470,7 @@ def _q_doc_lang_stats(spark, sf):
 
 
 def _q_scrub_parity(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return d.select(
         "doc_id",
         F.md5(scrub_expr(F.concat(F.col("text"), F.lit(_PII_SUFFIX)))).alias("scrub_md5"),
@@ -562,7 +571,7 @@ def _q_native_rules_docs(spark, sf):
     subset of the quality filter — the oracle for rule semantics)."""
     from llm_tab_cleaner_spark.functions import text_features as TF
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     c = F.col("text")
     nullish = F.when(TF.is_nullish(c), F.lit(TH.CONF_NULLISH))
     minified = F.when(TF.max_line_len(c) > TH.MAX_LINE_LEN, F.lit(TH.CONF_MINIFIED))
@@ -603,7 +612,7 @@ def _rules_tabular_audit(spark, sf):
     branch-wise DuckDB twin) and learned_patterns."""
     from llm_tab_cleaner_spark.operators.rules import apply_rules
 
-    c = _t(spark, sf, "customer")
+    c = _t(spark, sf, "customer", spread=True)
     k = F.col("c_custkey").cast("bigint")
     m2, m3, m4, m5 = [F.pmod(k, F.lit(n)) for n in (2, 3, 4, 5)]
     s4 = F.lpad(F.pmod(k, F.lit(10000)).cast("string"), 4, "0")
@@ -814,7 +823,7 @@ def _q_pipeline_corpus_gate(spark, sf):
     plain text (none, survives)."""
     from llm_tab_cleaner_spark import CleanPipeline, PipelineConfig
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     k = F.col("doc_id") % 4
     content = (
         F.when(k == 0, F.concat(F.lit("// SPDX-License-Identifier: MIT\n// MIT License\n"), F.col("text")))
@@ -859,7 +868,7 @@ def _q_paragraph_dedup(spark, sf):
     covers the reassembled text byte-for-byte."""
     from llm_tab_cleaner_spark.operators.dedup import strip_duplicate_paragraphs
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.lit(_BOILER + "\n\n"),
         F.regexp_replace(F.col("text"), "(([^ ]+ ){8})", "$1\n\n"),
@@ -884,7 +893,7 @@ def _q_decontaminate(spark, sf):
     train split); cross-doc matches require a genuinely shared 5-token run."""
     from llm_tab_cleaner_spark.operators.dedup import decontaminate
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(d, "doc_id", "text", bench, n=5).select(
         "doc_id",
@@ -904,7 +913,7 @@ def _q_winnow_pairs(spark, sf):
     pair join value-for-value."""
     from llm_tab_cleaner_spark.operators.fingerprint import winnow_overlap_pairs
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return winnow_overlap_pairs(
         d, "doc_id", "text", k=20, window=16, min_shared=2
     ).select(
@@ -924,7 +933,7 @@ def _q_repetition_stats(spark, sf):
     live in tests/test_repetition.py against the code-files fixture."""
     from llm_tab_cleaner_spark.functions.repetition import repetition_stats
 
-    return repetition_stats(_t(spark, sf, "documents"), "doc_id", "text", 2)
+    return repetition_stats(_t(spark, sf, "documents", spread=True), "doc_id", "text", 2)
 
 
 def _q_gopher_quality(spark, sf):
@@ -936,7 +945,7 @@ def _q_gopher_quality(spark, sf):
     by the oracle CTE."""
     from llm_tab_cleaner_spark.functions.webquality import gopher_quality_stats
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -965,7 +974,7 @@ def _q_c4_clean(spark, sf):
     length, like paragraph_dedup."""
     from llm_tab_cleaner_spark.functions.webquality import c4_clean
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.when(F.col("doc_id") % 4 == 0, F.lit("tiny line.\n")).otherwise(F.lit("")),
         F.when(
@@ -1003,7 +1012,7 @@ def _q_stack_stats(spark, sf):
     autogen flag and the combined keep — all value-compared."""
     from llm_tab_cleaner_spark.functions.webquality import code_quality_stats
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.regexp_replace(F.col("text"), "(([^ ]+ ){8})", "$1\n"),
         F.when(
@@ -1122,7 +1131,7 @@ def _q_encoding_stats(spark, sf):
     from llm_tab_cleaner_spark.functions.encoding import encoding_stats
 
     moji, ctl, repl = _enc_snips()
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.when(F.col("doc_id") % 5 == 0, F.lit(moji)).otherwise(F.lit("")),
         F.col("text"),
@@ -1158,7 +1167,7 @@ def _q_script_stats(spark, sf):
     script with a deterministic tie-break, dominant share."""
     from llm_tab_cleaner_spark.functions.webquality import script_stats
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     content = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _CYR)).otherwise(F.lit("")),
@@ -1177,7 +1186,7 @@ def _q_unigram_entropy(spark, sf):
     every gram-hash query)."""
     from llm_tab_cleaner_spark.operators.text_analysis import unigram_entropy
 
-    return unigram_entropy(_t(spark, sf, "documents"), "doc_id", "text")
+    return unigram_entropy(_t(spark, sf, "documents", spread=True), "doc_id", "text")
 
 
 def _q_oov_rate(spark, sf):
@@ -1187,7 +1196,7 @@ def _q_oov_rate(spark, sf):
     corpus tokens never shuffle for the test."""
     from llm_tab_cleaner_spark.operators.text_analysis import build_vocab, oov_stats
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     vocab = build_vocab(d.filter(F.col("doc_id") % 2 == 0), "text", top_k=50)
     return oov_stats(d, "doc_id", "text", vocab)
 
@@ -1265,7 +1274,7 @@ def _q_dsir_weights(spark, sf):
     (double-summation order is the only cross-engine variation)."""
     from llm_tab_cleaner_spark.operators.selection import dsir_log_weights
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     out = dsir_log_weights(d, "doc_id", "text", d.filter(F.col("lang") == "en"))
     return out.select(
         "doc_id",
@@ -1316,7 +1325,7 @@ def _q_dsir_select(spark, sf):
     sides (continuous scores — boundary ties would need ~1e-12 collisions)."""
     from llm_tab_cleaner_spark.operators.selection import dsir_select
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     out = dsir_select(
         d, "doc_id", "text", d.filter(F.col("lang") == "en"),
         k=30, temperature=2.0,
@@ -1450,7 +1459,7 @@ def _q_embedding_norms(spark, sf):
 
 
 def _q_knn_brute(spark, sf):
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings", spread=True)
     left = e.filter(F.col("vec_id") < 10)
     out = similarity.knn_join_brute(left, e.filter(F.col("vec_id") >= 10), "vec_id", "vec_id", "embedding", 5)
     return out.select(
@@ -1531,7 +1540,7 @@ def _q_ivf_assign(spark, sf):
 # ---- dedup (model/UDF-backed → rows-only checks) ----
 
 def _q_minhash_pairs(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     # localCheckpoint: the banding self-join + estimate reference the
     # signature frame 4×, and without materialization each branch replays
     # the scan + signature UDF. persist() would leak in the CacheManager
@@ -1541,9 +1550,9 @@ def _q_minhash_pairs(spark, sf):
         d, ["doc_id"], "text", num_hashes=64, shingle_k=5
     ).localCheckpoint(eager=True)
     pairs = dedup.lsh_candidate_pairs(sigs, ["doc_id"], 64, 16)
-    return dedup.minhash_jaccard_estimate(pairs, sigs, "doc_id").select(
-        "doc_id_a", "doc_id_b", "jaccard_est"
-    )
+    return dedup.minhash_jaccard_estimate(
+        pairs, sigs, "doc_id", num_hashes=64
+    ).select("doc_id_a", "doc_id_b", "jaccard_est")
 
 
 def _q_simhash_pairs(spark, sf):
@@ -1553,7 +1562,7 @@ def _q_simhash_pairs(spark, sf):
     chunk by luck. Manku blocks=10 (C(10,2)=45 tables, ~13-bit keys) now
     guarantees recall at d=8, so this query's row count can legitimately
     GROW vs rounds 1-4 artifacts."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     sims = dedup.simhash_signatures(d, ["doc_id"], "text")
     return dedup.simhash_near_dup_pairs(
         sims, "doc_id", max_hamming=8, blocks=10
@@ -1591,7 +1600,7 @@ def _q_embedding_near_dup(spark, sf):
     pair AT cos=0.8, vanishing above it), so oracle equality is expected at
     any SF/seed — not an artifact of the fixture having no
     threshold-adjacent pairs (round-2 ADVICE)."""
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings", spread=True)
     return dedup.embedding_near_dup_pairs(
         e, "vec_id", "embedding", min_cosine=0.8, bands=32, planes_per_band=6,
         dim=64,
@@ -1609,7 +1618,7 @@ def _q_dedup_clusters(spark, sf):
     over the SAME pair SQL. The iterative hash-min loop is the one
     operator here whose Spark form is NOT one SQL statement — exactly why
     it gets its own oracle-checked entry."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2)
     comp = dedup.connected_components(pairs, "id_a", "id_b")
     return comp.select(
@@ -1624,7 +1633,7 @@ def _q_near_dup_keep(spark, sf):
     min-id doc of every cluster plus every unpaired doc. The oracle replays
     pairs + recursive-CTE closure + the loser anti-join, so the survivor
     SET itself — what a real pipeline writes out — is value-verified."""
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2)
     kept = dedup.near_dup_keep(d.select("doc_id"), "doc_id", pairs)
     return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"))
@@ -1647,7 +1656,7 @@ def _q_skew_report(spark, sf):
 
 
 def _q_ngram_jaccard(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, min_jaccard=0.2).select(
         F.col("id_a").cast("bigint").alias("id_a"),
         F.col("id_b").cast("bigint").alias("id_b"),

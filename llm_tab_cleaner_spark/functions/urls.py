@@ -164,6 +164,7 @@ def domain_cap(
     url_col: str = "url",
     max_per_domain: int = 1000,
     id_col: str | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` rows per registrable domain — the
     standard anti-domination policy (one mirror farm must not become 5% of
@@ -171,25 +172,36 @@ def domain_cap(
     rank by ``md5(url)`` (tie-broken by url, then ``id_col`` when given) so
     reruns and resumes keep the same winners regardless of partitioning.
 
-    Scale shape: one shuffle keyed on the domain string for the window
-    rank. Hot domains ARE the expected skew here (that is why the cap
-    exists) — a single domain's rows land on one reducer, so at 100 TB run
-    this after the exact-dedup stage (which collapses most of a hot
-    domain's mass) and lean on AQE skew-split. With ``id_col`` given (the
-    100 TB form) the window ranks a SLIM (id, url, domain) projection and
-    the winner ids semi-join back — content never rides the skewed
-    shuffle. Without an id there is no join key, so the window carries the
-    full rows (fine for narrow frames). For pathological single-domain
-    corpora, pre-filter with ``domain_stats`` and handle the giants
-    out-of-band."""
+    Scale shape (id_col form — the 100 TB form): hot domains ARE the
+    expected skew here (that is why the cap exists), so the winner
+    selection is a salted TWO-STAGE min-N (guide §2.5 two-level
+    aggregation): stage 1 ranks a slim (id, url, domain) projection within
+    (domain, salt) partitions — a hot domain spreads over ``salt_buckets``
+    reducers — and keeps each group's ``max_per_domain`` smallest; stage 2
+    ranks the survivors per domain, whose input is now at most
+    ``salt_buckets × max_per_domain`` rows per domain instead of
+    |domain|. Every global winner is in its salt group's top-N, so the
+    winner set is IDENTICAL to the single-window form (pytest-proven on a
+    synthetic one-domain-dominates corpus). The winner ids semi-join back
+    — content never rides the skewed shuffle. The salt is a deterministic
+    function of the url (resume-safe).
+
+    Without an id there is no join key, so a single window carries the
+    full rows (fine for narrow frames; the per-domain reducer caveat
+    applies). For pathological single-domain corpora, pre-filter with
+    ``domain_stats`` and handle the giants out-of-band."""
     from pyspark.sql import Window
 
     dom = registrable_domain(url_host(F.col(url_col)))
     if id_col:
         order = [F.md5(F.col(url_col)), F.col(url_col), F.col(id_col)]
+        salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy("_dom", "_salt").orderBy(*order)
         w = Window.partitionBy("_dom").orderBy(*order)
         winners = (
-            df.select(id_col, url_col, dom.alias("_dom"))
+            df.select(id_col, url_col, dom.alias("_dom"), salt.alias("_salt"))
+            .withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= max_per_domain)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_per_domain)
             .select(id_col)

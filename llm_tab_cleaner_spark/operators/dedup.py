@@ -281,13 +281,32 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_jaccard_estimate(pair_df: DataFrame, sig_df: DataFrame, id_col: str) -> DataFrame:
+def minhash_jaccard_estimate(
+    pair_df: DataFrame,
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int | None = None,
+) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of equal signature
-    slots (zip_with + aggregate — native, no UDF)."""
+    slots. With ``num_hashes`` given (the signature width is a fixed model
+    parameter), the equal-slot count is an unrolled codegen-able add chain
+    — integer arithmetic, identical values to the lambda fold, which is a
+    CodegenFallback evaluated interpreted per slot per pair (the
+    pair-count-proportional cost of this operator); signatures of any
+    other width fall back to the fold."""
     a = sig_df.select(F.col(id_col).alias(f"{id_col}_a"), F.col("minhash").alias("_sa"))
     b = sig_df.select(F.col(id_col).alias(f"{id_col}_b"), F.col("minhash").alias("_sb"))
     eq = F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int"))
     jac = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.size("_sa")
+    if num_hashes:
+        sa, sb = F.col("_sa"), F.col("_sb")
+        acc = F.lit(0)
+        for j in range(num_hashes):
+            acc = acc + (sa[j] == sb[j]).cast("int")
+        jac = F.when(
+            (F.size(sa) == num_hashes) & (F.size(sb) == num_hashes),
+            acc / F.size(sa),
+        ).otherwise(jac)
     return (
         pair_df.join(a, f"{id_col}_a").join(b, f"{id_col}_b")
         .withColumn("jaccard_est", F.round(jac, 4))
@@ -834,6 +853,14 @@ def connected_components(
     you would swap the loop body for the large-star/small-star variant;
     the join shape per round is identical."""
     src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    # Checkpoint-block lifetime (round-5 ADVICE): the slim/edges/labels
+    # localCheckpoints below are NOT explicitly unpersisted — the returned
+    # frame does not reference them (driver branch) or references only the
+    # final labels (distributed branch), so the superseded blocks are freed
+    # by the ContextCleaner as soon as their frames go out of scope at
+    # function return, the same lifetime contract the ngram/LSH checkpoints
+    # rely on. Long-lived retention would need the caller to hold a
+    # reference to this function's internals, which the API never exposes.
     # materialize the slim (src, dst) projection ONCE before any probing:
     # CollectLimit over an expensive pair DAG executes incrementally
     # (1 partition, then scaleUpFactor× more, re-running the upstream per

@@ -138,3 +138,35 @@ def test_domain_cap_deterministic_and_semi_join(spark):
     assert ids1 == ids3
     # winners carry their full original rows back
     assert set(kept.columns) == {"id", "url", "content"}
+
+
+def test_domain_cap_salted_prune_identical_winners_on_hot_domain(spark):
+    """The r6 de-skew (salted two-stage min-N before the per-domain rank)
+    must pick EXACTLY the winners of the single-window definition when one
+    domain dominates the corpus, at any salt count, and the plan must show
+    the pruning stage (two window ranks)."""
+    from llm_tab_cleaner_spark.functions.urls import domain_cap
+
+    rows = [(i, "https://giant.com/page/%04d" % i) for i in range(500)] + [
+        (1000 + i, "https://minor%d.net/x" % i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+
+    # reference winners: the unsalted single-window definition (id-less
+    # form ranks identically here — distinct urls, no ties)
+    ref = sorted(r["id"] for r in domain_cap(df, "url", 7).select("id").collect())
+    for buckets in (1, 3, 16):
+        got = sorted(
+            r["id"]
+            for r in domain_cap(
+                df, "url", 7, id_col="id", salt_buckets=buckets
+            ).select("id").collect()
+        )
+        assert got == ref, f"salt_buckets={buckets} changed the winner set"
+    assert len(ref) == 7 + 5
+
+    plan = (
+        domain_cap(df, "url", 7, id_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
