@@ -483,6 +483,16 @@ def simhash_near_dup_pairs(
             acc = F.xxhash64(acc)
         return acc
 
+    # Materialize the SIGNATURE table (one slim row per doc), not the
+    # banded explode: banding multiplies rows by the table count (45 at
+    # blocks=10/d=8), so checkpointing after the explode wrote 45x the
+    # blocks for data the downstream could re-derive with a cheap native
+    # explode per consumer (r6 A/B: 0.79x median wall, identical pairs).
+    # Skipped when the caller already materialized the signatures
+    # (no EvalPython left in the plan) — the minhash-path pattern.
+    sim_plan = sim_df._jdf.queryExecution().executedPlan().toString()
+    if "EvalPython" in sim_plan:
+        sim_df = sim_df.localCheckpoint(eager=True)
     sim_df = sim_df.filter(F.col("simhash") != 0)
     chunks = sim_df.select(
         id_col,
@@ -498,9 +508,6 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     ).select(id_col, "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.key").alias("key"))
-    # materialize once: the cap aggregate + both self-join sides would
-    # otherwise replay the simhash UDF lineage per consumer (~4x)
-    chunks = chunks.localCheckpoint(eager=True)
     chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size, "simhash_near_dup_pairs")
     a = chunks.select(
         "chunk", "key", F.col(id_col).alias(f"{id_col}_a"), F.col("simhash").alias("_ha")
@@ -560,13 +567,15 @@ def embedding_near_dup_pairs(
     )
 
     if method == "lsh":
+        # materialize the BUCKETS UDF output (one slim row per vector),
+        # not the banded explode: the explode multiplies rows by `bands`
+        # and is cheap native work each consumer can replay (r6 A/B:
+        # 0.81x median wall vs checkpointing post-explode)
         b = banded_buckets(df, id_col, vec_col, bands, planes_per_band, seed)
+        b = b.select(id_col, "buckets").localCheckpoint(eager=True)
         banded = b.select(
             id_col, F.posexplode("buckets").alias("band", "bucket")
         )
-        # materialize once: cap aggregate + both candidate sides would
-        # otherwise replay the hyperplane-bucket UDF lineage per consumer
-        banded = banded.localCheckpoint(eager=True)
         # hot-bucket cap (same guard as lsh_candidate_pairs / simhash):
         # zero/degenerate vectors all sign-hash to one bucket per band — a
         # quadratic reducer at corpus scale; clusters that big are

@@ -213,15 +213,20 @@ def knn_join_blocked(
     """
     from pyspark.sql import Window
 
-    n_probe = left.limit(max_probe_rows + 1).count()
-    if n_probe > max_probe_rows:
+    # ONE bounded action serves both the guard and the probe collect
+    # (limit(max+1) + length check == the old separate count, minus a job)
+    qpdf = (
+        left.select(F.col(id_left).alias("qid"), F.col(vec_col).alias("_q"))
+        .limit(max_probe_rows + 1)
+        .toPandas()
+    )
+    if len(qpdf) > max_probe_rows:
         raise ValueError(
             f"knn_join_blocked collects the probe (left) side to the driver; "
             f"got > {max_probe_rows} probe rows. Batch the probes, raise "
             f"max_probe_rows explicitly, or use lsh_topk/ivf_assign for "
             f"large probe sets."
         )
-    qpdf = left.select(F.col(id_left).alias("qid"), F.col(vec_col).alias("_q")).toPandas()
     qids = qpdf["qid"].to_numpy()
     qmat = np.stack(qpdf["_q"].to_numpy()).astype(np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
