@@ -227,7 +227,16 @@ def apply_quality_filter(
         ),
     )
     out = out.withColumnRenamed("_any_pii", "scrubbed")
-    out = out.withColumn("clean_sha256", F.sha2(F.col("content_clean"), 256))
+    # for unscrubbed rows (the vast majority) content_clean IS content, so
+    # clean_sha256 == content_sha256 by construction — reuse it instead of
+    # paying a second full-content SHA-256 pass per row (guide §1.2
+    # per-task work); scrubbed rows still hash their cleaned bytes
+    out = out.withColumn(
+        "clean_sha256",
+        F.when(F.col("scrubbed"), F.sha2(F.col("content_clean"), 256)).otherwise(
+            F.col("content_sha256")
+        ),
+    )
     out = out.withColumn("partition_id", F.spark_partition_id())
     return out, model
 
