@@ -585,11 +585,18 @@ def embedding_near_dup_pairs(
         )
         a = banded.select("band", "bucket", F.col(id_col).alias("id_a"))
         c = banded.select("band", "bucket", F.col(id_col).alias("id_b"))
+        # NO distinct here (guide §2.4 remove shuffles outright): deduping
+        # candidates would shuffle the full candidate set before the
+        # verify, while the verify join + cosine filter are map-side
+        # (broadcast) — so candidates stream through un-shuffled, a pair
+        # colliding in m bands is verified m times by the now-cheap
+        # unrolled dot, and the FINAL distinct (survivors only — a far
+        # smaller set) dedupes exactly as before. Result-identical
+        # (r6 A/B: verified row-for-row at a loose threshold; 0.94x wall).
         cand = (
             a.join(c, ["band", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b")
-            .distinct()
         )
         va = _vec_side(df, id_col, vec_col, "id_a", "_va", "_na")
         vb = _vec_side(df, id_col, vec_col, "id_b", "_vb", "_nb")
